@@ -1,0 +1,120 @@
+"""Codec configuration.
+
+TPU-first equivalent of the reference's mutable ``CodingParams`` attribute bag
+(SURVEY.md §2 #1, §5.6): a frozen, hashable dataclass that is safe to close
+over in ``jax.jit`` (it is static — never traced), plus named presets matching
+the five BASELINE.json evaluation configs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class CodecConfig:
+    """Static codec parameters. Frozen/hashable → usable as a jit static arg.
+
+    Spec: SPEC.md. Field names follow the frozen spec, not the reference.
+    """
+
+    sample_rate: int = 44100
+    n_channels: int = 2
+    bitrate_bps: int = 128_000          # total across channels
+
+    # Filterbank
+    n_mdct_lines: int = 1024            # H (long block); frame N = 2H
+    window: str = "sine"                # sine | kbd | hann
+    kbd_alpha: float = 4.0
+
+    # Quantization
+    n_scale_bits: int = 4               # S
+    n_mant_size_bits: int = 4           # A (alloc-field width)
+    max_mant_bits: int = 16
+
+    # Psychoacoustics / allocation
+    use_psy: bool = True
+    alloc_mode: str = "greedy"          # greedy | uniform | const_snr | const_mnr
+    psy_noise_maskers: bool = True
+    max_maskers: int = 64
+    delta_tonal_db: float = 16.0
+    delta_noise_db: float = 6.0
+
+    # Entropy coding
+    use_huffman: bool = False
+    reservoir_factor: int = 4           # reservoir cap = factor * per-block budget
+
+    # Block switching / streaming
+    use_block_switch: bool = False
+    n_mdct_lines_short: int = 128
+    transient_ratio: float = 8.0
+    transient_energy_min: float = 1e-6
+
+    # Numerics: "parity" = f64 + FFT MDCT (bit-exact vs oracle, CPU),
+    # "fast" = f32 matmul/Pallas MDCT (TPU speed path).
+    precision: str = "fast"
+
+    def __post_init__(self):
+        if self.n_mdct_lines & (self.n_mdct_lines - 1):
+            raise ValueError("n_mdct_lines must be a power of two")
+        if self.window not in ("sine", "kbd", "hann"):
+            raise ValueError(f"unknown window {self.window!r}")
+        if self.alloc_mode not in ("greedy", "uniform", "const_snr", "const_mnr"):
+            raise ValueError(f"unknown alloc_mode {self.alloc_mode!r}")
+        if self.precision not in ("parity", "fast"):
+            raise ValueError(f"unknown precision {self.precision!r}")
+        if self.use_block_switch:
+            if self.n_mdct_lines % self.n_mdct_lines_short:
+                raise ValueError("short lines must divide long lines")
+
+    # ---- derived (all python ints: static under jit) ----
+
+    @property
+    def frame_size(self) -> int:
+        return 2 * self.n_mdct_lines
+
+    @property
+    def short_factor(self) -> int:
+        return self.n_mdct_lines // self.n_mdct_lines_short
+
+    def bits_per_block_channel(self, n_lines: Optional[int] = None) -> int:
+        """Total payload bit budget per (block, channel). SPEC.md §6."""
+        h = self.n_mdct_lines if n_lines is None else n_lines
+        return (self.bitrate_bps * h) // (self.sample_rate * self.n_channels)
+
+    def replace(self, **kw) -> "CodecConfig":
+        return dataclasses.replace(self, **kw)
+
+
+# The five BASELINE.json evaluation configs (BASELINE.md "ladder rungs").
+PRESETS = {
+    # 1. Mono 16 kHz, 1024-pt sine MDCT, uniform quantizer, fixed 64 kbps.
+    "mono16-64": CodecConfig(
+        sample_rate=16_000, n_channels=1, bitrate_bps=64_000,
+        n_mdct_lines=512, use_psy=False, alloc_mode="uniform",
+        precision="parity",
+    ),
+    # 2. Stereo 44.1 kHz, full psy model, greedy allocation @128 kbps.
+    "stereo44-128": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        n_mdct_lines=1024, use_psy=True, alloc_mode="greedy",
+    ),
+    # 3. Huffman VBR (bitrate swept 32–256k by the caller).
+    "vbr-huffman": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, use_huffman=True,
+    ),
+    # 4. Corpus transcode (same codec as 2; parallelism lives in tac.parallel).
+    "corpus": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True,
+    ),
+    # 5. Low-latency streaming with block switching (<20 ms delay:
+    #    2*256/44100 = 11.6 ms).
+    "streaming-ll": CodecConfig(
+        sample_rate=44_100, n_channels=1, bitrate_bps=96_000,
+        n_mdct_lines=256, n_mdct_lines_short=64, use_block_switch=True,
+        use_psy=True,
+    ),
+}
