@@ -1,0 +1,173 @@
+"""Public API: encode/decode between audio arrays/files and PAC-T bytes.
+
+The reference exposes this surface through PACFile/WAVFile block loops
+(SURVEY.md §1 "public interface", §2 #3); here the device pipeline
+(tac.codec) produces whole-clip integer arrays in one jit call and this
+module does the host-side (de)serialization with the vectorized packer
+(tac.bitstream) — no per-block Python loop anywhere.
+
+Layout per payload (SPEC.md §7), realized as a RECTANGULAR field matrix per
+(block, channel): [ovs | B alloc codes | B scale factors (width 0 where
+alloc=0) | H mantissas (width = band alloc, 0 ⇒ absent) | pad-to-byte].
+Zero-width fields occupy no bits, so the variable-length payload packs as a
+fixed-shape [K, 2B+H+2] array in one pack_fields call for the entire clip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from tac import bands, bitstream as bs, codec
+from tac.codec import FrameCode
+from tac.config import CodecConfig
+from tac.io.wav import read_wav, write_wav
+
+_B = bands.N_BANDS
+
+
+# ------------------------------------------------------------- serialize ----
+
+def _field_matrix(code_np: dict, cfg: CodecConfig, h: int, n_lines: np.ndarray):
+    """FrameCode numpy arrays [K, ...] → (values, widths) [K, nf] matrices."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    ovs, alloc_code, sf, mant = (code_np["ovs"], code_np["alloc_code"],
+                                 code_np["scale"], code_np["mant"])
+    k = ovs.shape[0]
+    alloc = np.where(alloc_code > 0, alloc_code + 1, 0).astype(np.int64)
+    band_of_line = bands.band_of_line(cfg.sample_rate, h)
+
+    vals = np.zeros((k, 2 * _B + h + 2), np.int64)
+    wids = np.zeros((k, 2 * _B + h + 2), np.int64)
+    vals[:, 0] = ovs;            wids[:, 0] = s
+    vals[:, 1:1 + _B] = alloc_code;   wids[:, 1:1 + _B] = a
+    vals[:, 1 + _B:1 + 2 * _B] = sf
+    wids[:, 1 + _B:1 + 2 * _B] = np.where(alloc > 0, s, 0)
+    m_line = alloc[:, band_of_line]                      # [K, H]
+    vals[:, 1 + 2 * _B:1 + 2 * _B + h] = mant
+    wids[:, 1 + 2 * _B:1 + 2 * _B + h] = m_line
+    bits = wids[:, :-1].sum(axis=1)
+    wids[:, -1] = (-bits) % 8                            # pad field (value 0)
+    return vals, wids, ((bits + wids[:, -1]) // 8).astype(np.int64)
+
+
+def frames_to_payload(code: FrameCode, cfg: CodecConfig, h: int,
+                      n_lines: np.ndarray) -> bytes:
+    """FrameCode with [C, F, ...] leaves → interleaved block stream bytes.
+
+    Stream order: block-major, channel-minor (block f: ch0, ch1, ...).
+    """
+    c, f = code.ovs.shape
+    # reorder to [F, C, ...] then flatten → stream order
+    code_np = {
+        "ovs": np.asarray(code.ovs).transpose(1, 0).reshape(f * c),
+        "alloc_code": np.asarray(code.alloc_code).transpose(1, 0, 2).reshape(f * c, -1),
+        "scale": np.asarray(code.scale).transpose(1, 0, 2).reshape(f * c, -1),
+        "mant": np.asarray(code.mant).transpose(1, 0, 2).reshape(f * c, -1),
+    }
+    vals, wids, nbytes = _field_matrix(code_np, cfg, h, n_lines)
+    payload = bs.pack_fields(vals.ravel(), wids.ravel())
+    return bs.assemble_blocks(payload, nbytes)
+
+
+def payload_to_frames(data: bytes, offset: int, n_blocks: int,
+                      cfg: CodecConfig, h: int) -> FrameCode:
+    """Inverse of frames_to_payload → FrameCode with [C, F, ...] leaves."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    c = cfg.n_channels
+    k = n_blocks * c
+    offs, _lens = bs.split_blocks(data, offset, k)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    base = offs * 8                                       # [K] payload bit off
+    band_of_line = bands.band_of_line(cfg.sample_rate, h)
+
+    # phase 1: fixed-width head: ovs + B alloc codes
+    head_w = np.concatenate([[s], np.full(_B, a)]).astype(np.int64)
+    head_off = base[:, None] + np.concatenate([[0], s + a * np.arange(_B)])
+    head = bs.unpack_at(bits, head_off.ravel(), np.tile(head_w, k)
+                        ).reshape(k, 1 + _B)
+    ovs, alloc_code = head[:, 0], head[:, 1:]
+    alloc = np.where(alloc_code > 0, alloc_code + 1, 0)
+
+    # phase 2: scale factors (width 0 where alloc == 0)
+    sf_w = np.where(alloc > 0, s, 0).astype(np.int64)
+    sf_end = np.cumsum(sf_w, axis=1)
+    sf_off = base[:, None] + (s + a * _B) + (sf_end - sf_w)
+    sf = bs.unpack_at(bits, sf_off.ravel(), sf_w.ravel()).reshape(k, _B)
+
+    # phase 3: mantissas (width = band alloc)
+    m_line = alloc[:, band_of_line].astype(np.int64)      # [K, H]
+    m_end = np.cumsum(m_line, axis=1)
+    m_off = base[:, None] + (s + a * _B) + sf_end[:, -1:] + (m_end - m_line)
+    mant = bs.unpack_at(bits, m_off.ravel(), m_line.ravel()).reshape(k, h)
+
+    def to_cf(x):  # [K=F*C, ...] → [C, F, ...]
+        return jnp.asarray(np.ascontiguousarray(
+            x.reshape(n_blocks, c, *x.shape[1:]).swapaxes(0, 1)).astype(np.int32))
+
+    return FrameCode(ovs=to_cf(ovs), alloc_code=to_cf(alloc_code),
+                     scale=to_cf(sf), mant=to_cf(mant))
+
+
+# ------------------------------------------------------------ public api ----
+
+def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
+    """x: float[T] or [T, C] in [-1, 1) → PAC-T bytes."""
+    x = np.asarray(x, np.float64)
+    if x.ndim == 1:
+        x = x[:, None]
+    t, c = x.shape
+    if c != cfg.n_channels:
+        cfg = cfg.replace(n_channels=c)
+    h = cfg.n_mdct_lines
+    code = codec.encode_clip(x.T, cfg)
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    hdr = bs.PacHeader(
+        sample_rate=cfg.sample_rate, n_channels=c, num_samples=t,
+        bitrate_bps=cfg.bitrate_bps, n_mdct_lines=h,
+        n_mdct_lines_short=cfg.n_mdct_lines_short if cfg.use_block_switch else 0,
+        n_scale_bits=cfg.n_scale_bits, n_mant_size_bits=cfg.n_mant_size_bits,
+        n_lines_long=n_lines, n_lines_short=None,
+        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
+    return bs.write_header(hdr) + frames_to_payload(code, cfg, h, n_lines)
+
+
+def decode_array(data: bytes, precision: str = "parity"
+                 ) -> tuple[np.ndarray, int]:
+    """PAC-T bytes → (float32[T, C], sample_rate)."""
+    hdr, off = bs.read_header(data)
+    cfg = CodecConfig(
+        sample_rate=hdr.sample_rate, n_channels=hdr.n_channels,
+        bitrate_bps=hdr.bitrate_bps, n_mdct_lines=hdr.n_mdct_lines,
+        n_scale_bits=hdr.n_scale_bits, n_mant_size_bits=hdr.n_mant_size_bits,
+        use_huffman=hdr.huffman, use_block_switch=hdr.blockswitch,
+        n_mdct_lines_short=max(hdr.n_mdct_lines_short, 1),
+        use_psy=False, precision=precision)
+    h = hdr.n_mdct_lines
+    from tac.dsp.mdct import num_frames
+    f = num_frames(hdr.num_samples, h)
+    code = payload_to_frames(data, off, f, cfg, h)
+    x = codec.decode_clip(code, cfg, hdr.num_samples)     # [C, T]
+    return np.asarray(x).T.astype(np.float32), hdr.sample_rate
+
+
+def encode(wav_path: str, pac_path: str, cfg: CodecConfig) -> dict:
+    """WAV file → PAC-T file. Returns a stats record (SURVEY.md §5.5)."""
+    x, fs = read_wav(wav_path)
+    if fs != cfg.sample_rate:
+        cfg = cfg.replace(sample_rate=fs)
+    data = encode_array(x, cfg)
+    with open(pac_path, "wb") as fo:
+        fo.write(data)
+    dur = x.shape[0] / fs
+    return {"seconds": dur, "bytes": len(data),
+            "kbps": len(data) * 8 / dur / 1000.0}
+
+
+def decode(pac_path: str, wav_path: str, precision: str = "parity") -> dict:
+    with open(pac_path, "rb") as fi:
+        data = fi.read()
+    x, fs = decode_array(data, precision)
+    write_wav(wav_path, x, fs)
+    return {"seconds": x.shape[0] / fs, "sample_rate": fs,
+            "channels": x.shape[1]}

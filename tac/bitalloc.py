@@ -1,0 +1,115 @@
+"""Per-band mantissa bit allocation (SPEC.md §6).
+
+Capability parity with the reference's ``bitalloc.py`` (SURVEY.md §2 #10:
+BitAlloc greedy water-fill + BitAllocUniform/ConstSNR/ConstMNR baselines),
+redesigned for XLA: the reference's data-dependent Python ``while`` loop
+becomes a ``lax.while_loop`` whose body does one *grant* (argmax over bands)
+or one *lone-bit freeze* per iteration — fully vmappable over frames.
+
+Bit-exactness contract (SPEC.md §10): decisions depend on floats only through
+  * ``smr_q`` — the caller's SMR snapped to a 1/16 dB grid, and
+  * ``need = smr_q - DEC[alloc]`` with ``DEC[k] = 6.02*k`` a shared
+    host-precomputed table (single subtract, no FMA hazard),
+so the NumPy oracle (tac/oracle/bitalloc.py) reproduces the allocation
+integer-for-integer. Ties in the argmax go to the lowest band index in both.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+MANT_MAX = 16          # max mantissa bits per line
+DB_PER_BIT = 6.02      # SNR gain per granted bit
+SMR_GRID = 16.0        # SMR decision grid: 1/16 dB
+
+# Shared decrement table: DEC[k] = 6.02 * k, k = 0..MANT_MAX.
+DEC_TABLE = np.arange(MANT_MAX + 1, dtype=np.float64) * DB_PER_BIT
+
+
+def snap_smr(smr):
+    """Snap SMRs to the 1/16 dB decision grid (SPEC.md §10 item 2)."""
+    return jnp.round(smr * SMR_GRID) / SMR_GRID
+
+
+def water_fill(smr_q, n_lines, budget: int, max_mant: int = MANT_MAX):
+    """Greedy water-filling with lone-bit cleanup. SPEC.md §6.
+
+    smr_q:   f64/f32[B] grid-snapped SMRs (vmap for leading axes).
+    n_lines: i32[B] lines per band (0 = band above Nyquist, never allocated).
+    budget:  python int, mantissa bit budget for this block/channel.
+
+    Returns int32[B] alloc with values in {0} ∪ [2, max_mant].
+
+    One while_loop iteration performs either a grant (+1 bit to the neediest
+    affordable band) or freezes the highest-index lone-1-bit band (reclaiming
+    its bits); terminates when no grant is affordable and no lone bits remain.
+    """
+    nb = smr_q.shape[-1]
+    dec = jnp.asarray(DEC_TABLE, smr_q.dtype)
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    neg = jnp.asarray(-jnp.inf, smr_q.dtype)
+
+    def cond(state):
+        _, _, _, done = state
+        return ~done
+
+    def body(state):
+        alloc, remaining, frozen, _ = state
+        need = smr_q - dec[alloc]
+        eligible = (~frozen) & (alloc < max_mant) & (n_lines > 0) \
+                   & (n_lines <= remaining)
+        any_grant = jnp.any(eligible)
+        # grant path: argmax of need among eligible; ties -> lowest index
+        b = jnp.argmax(jnp.where(eligible, need, neg))
+        g_alloc = alloc.at[b].add(1)
+        g_rem = remaining - n_lines[b]
+
+        # freeze path: highest-index band with alloc == 1 (not frozen)
+        lone = (alloc == 1) & (~frozen)
+        any_lone = jnp.any(lone)
+        hi = nb - 1 - jnp.argmax(lone[::-1])  # first True in reversed order
+        f_alloc = alloc.at[hi].set(0)
+        f_rem = remaining + n_lines[hi]
+        f_frozen = frozen.at[hi].set(True)
+
+        done = (~any_grant) & (~any_lone)
+        alloc2 = jnp.where(any_grant, g_alloc,
+                           jnp.where(any_lone, f_alloc, alloc))
+        rem2 = jnp.where(any_grant, g_rem,
+                         jnp.where(any_lone, f_rem, remaining))
+        frozen2 = jnp.where(any_grant, frozen,
+                            jnp.where(any_lone, f_frozen, frozen))
+        return alloc2, rem2, frozen2, done
+
+    alloc0 = jnp.zeros(nb, jnp.int32)
+    frozen0 = jnp.zeros(nb, bool)
+    state = (alloc0, jnp.asarray(budget, jnp.int32), frozen0,
+             jnp.asarray(False))
+    alloc, _, _, _ = jax.lax.while_loop(cond, body, state)
+    return alloc
+
+
+def allocate(smr, n_lines, budget: int, mode: str = "greedy",
+             max_mant: int = MANT_MAX):
+    """Dispatch over allocation modes (reference's four BitAlloc* variants).
+
+    greedy / const_mnr: water-fill on masked SMR (they coincide: constant
+    mask-to-noise ratio IS what the greedy loop converges to).
+    const_snr: water-fill on band-peak SPL (no masking) — caller passes
+    line SPLs as `smr` with use_psy=False.
+    uniform: water-fill on all-zero need — round-robin from the lowest band.
+    """
+    if mode == "uniform":
+        smr = jnp.zeros_like(smr)
+    return water_fill(snap_smr(smr), n_lines, budget, max_mant)
+
+
+def alloc_to_code(alloc):
+    """alloc ∈ {0} ∪ [2,16] → 4-bit code c (c=0 ⇔ alloc=0, else c=alloc-1)."""
+    return jnp.where(alloc > 0, alloc - 1, 0).astype(jnp.int32)
+
+
+def code_to_alloc(code):
+    return jnp.where(code > 0, code + 1, 0).astype(jnp.int32)

@@ -1,0 +1,161 @@
+"""Codec core: per-frame encode/decode pipelines (SPEC.md §4–§6).
+
+Capability parity with the reference's ``codec.py`` (SURVEY.md §2 #4:
+Encode/EncodeSingleChannel/Decode), redesigned arrays-first for TPU:
+
+  * the reference's serial per-block, per-channel loop becomes a pure
+    per-frame function ``encode_frame`` vmapped over (channels, frames) —
+    every frame is independent because the 50%-overlap state was moved into
+    the framing (tac.dsp.mdct.frame_signal);
+  * ``encode_clip``/``decode_clip`` are the jit entry points: one fused XLA
+    graph from windowing to quantized integers (the BASELINE.json:5 mandate);
+  * "parity" precision runs f64 with the FFT MDCT (bit-exact decision chain
+    vs tac.oracle, SPEC.md §10); "fast" runs f32 with the window-fused
+    matmul MDCT on the MXU.
+
+The bitstream never appears here: encode produces integer arrays
+(ovs, alloc codes, scale factors, mantissas) — the parity surface — and
+tac.bitstream packs them host-side.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tac import bands, quant
+from tac import bitalloc as ba
+from tac import psy as psy_mod
+from tac.config import CodecConfig
+from tac.dsp import mdct as fb
+from tac.dsp.window import window_fn
+
+
+class CodecConsts(NamedTuple):
+    """Host-built compile-time constants for one config (closed over by jit)."""
+    window: jnp.ndarray          # [N] codec window
+    fwd_basis: jnp.ndarray       # [N, H] window-fused MDCT basis (fast path)
+    inv_basis: jnp.ndarray       # [H, N] window-fused IMDCT basis
+    band_of_line: jnp.ndarray    # [H] int32
+    n_lines: jnp.ndarray         # [N_BANDS] int32
+    psy: Optional[psy_mod.PsyConsts]
+    budget: int                  # python int: mantissa bits per block/channel
+    dtype: jnp.dtype
+
+
+def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
+    h = cfg.n_mdct_lines if h is None else h
+    n = 2 * h
+    dtype = jnp.float64 if cfg.precision == "parity" else jnp.float32
+    w = window_fn(cfg.window, n, cfg.kbd_alpha)
+    nl = bands.lines_per_band(cfg.sample_rate, h)
+    # SPEC.md §6 budget
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    budget = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
+        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0)
+    return CodecConsts(
+        window=jnp.asarray(w, dtype),
+        fwd_basis=jnp.asarray(fb.mdct_basis(h, w, np.float64), dtype),
+        inv_basis=jnp.asarray(fb.imdct_basis(h, w, np.float64), dtype),
+        band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
+        n_lines=jnp.asarray(nl),
+        psy=psy_mod.make_consts(cfg) if cfg.use_psy else None,
+        budget=max(int(budget), 0),
+        dtype=dtype,
+    )
+
+
+class FrameCode(NamedTuple):
+    """Quantized representation of one frame — the parity surface (SPEC §10)."""
+    ovs: jnp.ndarray         # [] int32 overall scale factor
+    alloc_code: jnp.ndarray  # [N_BANDS] int32 (0 ⇔ no bits, else alloc-1)
+    scale: jnp.ndarray       # [N_BANDS] int32 (0 where alloc_code == 0)
+    mant: jnp.ndarray        # [H] int32 line mantissas (0 where no bits)
+
+
+def _smr_input(frame, lines, cfg: CodecConfig, c: CodecConsts):
+    """What drives bit allocation (SPEC §5/§6; reference's 4 BitAlloc modes)."""
+    if cfg.use_psy and cfg.alloc_mode in ("greedy", "const_mnr"):
+        return psy_mod.calc_smrs(frame, lines, c.psy)
+    if cfg.alloc_mode == "const_snr":
+        gain = 8.0 / float(np.mean(np.asarray(c.window) ** 2))
+        spl = psy_mod.spl_from_intensity(gain * lines * lines)
+        return jax.ops.segment_max(spl, c.band_of_line,
+                                   num_segments=bands.N_BANDS)
+    return jnp.zeros(bands.N_BANDS, c.dtype)  # uniform
+
+
+def encode_frame(frame, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
+    """frame: [N] time samples (unwindowed) → FrameCode. Pure, vmappable."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    if cfg.precision == "parity":
+        lines = fb.mdct_fft(frame * c.window, c.window.shape[0] // 2)
+    else:
+        lines = jnp.dot(frame, c.fwd_basis,
+                        preferred_element_type=c.fwd_basis.dtype)
+
+    ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
+    smr = _smr_input(frame, lines, cfg, c)
+    alloc = ba.allocate(smr, c.n_lines, c.budget, cfg.alloc_mode,
+                        cfg.max_mant_bits)
+
+    # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
+    scaled = lines * jnp.exp2(ovs.astype(lines.dtype))
+    band_max = jax.ops.segment_max(jnp.abs(scaled), c.band_of_line,
+                                   num_segments=bands.N_BANDS)
+    band_max = jnp.where(c.n_lines > 0, band_max, 0.0)
+    sf = quant.scale_factor(band_max, s, alloc)
+    sf = jnp.where(alloc > 0, sf, 0)
+
+    m_line = alloc[c.band_of_line]
+    sf_line = sf[c.band_of_line]
+    mant = quant.mantissa(scaled, sf_line, s, m_line)
+    return FrameCode(ovs=ovs, alloc_code=ba.alloc_to_code(alloc),
+                     scale=sf, mant=mant)
+
+
+def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
+    """FrameCode → [N] windowed time-domain output (pre-overlap-add)."""
+    s = cfg.n_scale_bits
+    alloc = ba.code_to_alloc(code.alloc_code)
+    m_line = alloc[c.band_of_line]
+    sf_line = code.scale[c.band_of_line]
+    scaled = quant.dequantize_mantissa(code.mant, sf_line, s, m_line, c.dtype)
+    lines = scaled * jnp.exp2(-code.ovs.astype(c.dtype))
+    if cfg.precision == "parity":
+        return fb.imdct_fft(lines, lines.shape[-1]) * c.window
+    return jnp.dot(lines, c.inv_basis,
+                   preferred_element_type=c.inv_basis.dtype)
+
+
+# ------------------------------------------------------- clip-level entry ---
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_impl(x, cfg: CodecConfig):
+    c = make_consts(cfg)
+    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
+    f = jax.vmap(jax.vmap(lambda fr: encode_frame(fr, cfg, c)))
+    return f(frames)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_impl(code: FrameCode, cfg: CodecConfig, t: int):
+    c = make_consts(cfg)
+    f = jax.vmap(jax.vmap(lambda fc: decode_frame(fc, cfg, c)))
+    y = f(code)                                       # [C, F, N]
+    return fb.overlap_add(y, cfg.n_mdct_lines, t)     # [C, T]
+
+
+def encode_clip(x, cfg: CodecConfig) -> FrameCode:
+    """x: [C, T] float → FrameCode with [C, F, ...] leaves. Jitted per (cfg,
+    shape)."""
+    return _encode_clip_impl(x, cfg)
+
+
+def decode_clip(code: FrameCode, cfg: CodecConfig, t: int):
+    """FrameCode [C, F, ...] → [C, T] float (clipped to [-1, 1) by caller)."""
+    return _decode_clip_impl(code, cfg, t)

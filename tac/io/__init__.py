@@ -1,0 +1,1 @@
+from tac.io.wav import read_wav, write_wav  # noqa: F401

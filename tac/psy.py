@@ -1,0 +1,183 @@
+"""Psychoacoustic model: masked thresholds and signal-to-mask ratios.
+
+Capability parity with the reference's ``psychoac.py`` (SURVEY.md §2 #9:
+SPL/Intensity/Thresh/Bark, Masker spreading, getMaskedThreshold, CalcSMRs),
+re-designed as ONE fused XLA graph per frame (the BASELINE.json:5 mandate):
+
+  * the reference's per-masker Python loop becomes a dense
+    [MAX_MASKERS x H] broadcast of the two-slope spreading function;
+  * peak picking is a vectorized local-max mask + top_k (fixed MAX_MASKERS,
+    so shapes stay static under vmap);
+  * per-band reductions are segment ops over a compile-time band map.
+
+Everything here is pure jnp on [N]-sized vectors — vmapped over frames and
+channels by tac.codec. All formulas are frozen in SPEC.md §5.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import ops as jops
+
+from tac import bands
+from tac.dsp.window import hann_window, window_fn
+
+_NEG = -1e30  # "minus infinity" that stays finite in f32
+
+
+# ------------------------------------------------------- scalar formulas ----
+
+def spl_from_intensity(i):
+    """SPL(I) = max(96 + 10 log10 I, -30) dB."""
+    return jnp.maximum(96.0 + 10.0 * jnp.log10(jnp.maximum(i, 1e-40)), -30.0)
+
+
+def intensity_from_spl(spl):
+    return jnp.power(10.0, (spl - 96.0) / 10.0)
+
+
+def thresh_quiet_db(f):
+    """Threshold in quiet (dB SPL), f in Hz (array ok)."""
+    fk = jnp.maximum(f, 20.0) / 1000.0
+    return (3.64 * fk ** -0.8
+            - 6.5 * jnp.exp(-0.6 * (fk - 3.3) ** 2)
+            + 1e-3 * fk ** 4)
+
+
+def bark(f):
+    """Bark(f) = 13 atan(0.76 f/1k) + 3.5 atan((f/7.5k)^2)."""
+    return 13.0 * jnp.arctan(0.76 * f / 1000.0) + 3.5 * jnp.arctan((f / 7500.0) ** 2)
+
+
+# ---------------------------------------------------------- static state ----
+
+class PsyConsts(NamedTuple):
+    """Per-config compile-time constants (host-built, closed over by jit)."""
+    hann: jnp.ndarray            # [N] psy analysis window
+    fft_gain: float              # 4 / (N^2 * mean(hann^2))
+    mdct_gain: float             # 8 / mean(codec_window^2)
+    freqs: jnp.ndarray           # [H] line center freqs (shared fft/mdct grid)
+    zline: jnp.ndarray           # [H] Bark of each line
+    quiet_i: jnp.ndarray         # [H] threshold-in-quiet intensity at lines
+    band_of_line: jnp.ndarray    # [H] int32
+    n_lines: jnp.ndarray         # [N_BANDS] int32
+    noise_z: jnp.ndarray         # [N_BANDS] Bark of band centers
+    line_valid: jnp.ndarray      # [H] bool: line below fs/2 (always true here)
+    max_maskers: int
+    delta_tonal: float
+    delta_noise: float
+    noise_maskers: bool
+
+
+def _bark_np(f):
+    return 13.0 * np.arctan(0.76 * f / 1000.0) + 3.5 * np.arctan((f / 7500.0) ** 2)
+
+
+def _thresh_quiet_db_np(f):
+    fk = np.maximum(f, 20.0) / 1000.0
+    return (3.64 * fk ** -0.8 - 6.5 * np.exp(-0.6 * (fk - 3.3) ** 2)
+            + 1e-3 * fk ** 4)
+
+
+def make_consts(cfg) -> PsyConsts:
+    """Host-side (pure NumPy — safe to call at jit trace time)."""
+    h = cfg.n_mdct_lines
+    n = 2 * h
+    dt = np.float64 if cfg.precision == "parity" else np.float32
+    w = window_fn(cfg.window, n, cfg.kbd_alpha)
+    hw = hann_window(n)
+    f = bands.line_freqs(cfg.sample_rate, h)
+    quiet = 10.0 ** ((_thresh_quiet_db_np(f) - 96.0) / 10.0)
+    return PsyConsts(
+        hann=jnp.asarray(hw, dt),
+        fft_gain=float(4.0 / (n * n * np.mean(hw ** 2))),
+        mdct_gain=float(8.0 / np.mean(w ** 2)),
+        freqs=jnp.asarray(f, dt),
+        zline=jnp.asarray(_bark_np(f), dt),
+        quiet_i=jnp.asarray(quiet, dt),
+        band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
+        n_lines=jnp.asarray(bands.lines_per_band(cfg.sample_rate, h)),
+        noise_z=jnp.asarray(_bark_np(bands.band_center_freqs(cfg.sample_rate)), dt),
+        line_valid=jnp.asarray(np.ones(h, bool)),
+        max_maskers=cfg.max_maskers,
+        delta_tonal=cfg.delta_tonal_db,
+        delta_noise=cfg.delta_noise_db,
+        noise_maskers=cfg.psy_noise_maskers,
+    )
+
+
+# --------------------------------------------------------------- kernels ----
+
+def _spread_spl(lm, zm, delta, zline):
+    """Two-slope Schroeder spreading (SPEC.md §5): maskers [K] → lines [H].
+
+    Returns the spread masking SPL contribution [K, H].
+    """
+    dz = zline[None, :] - zm[:, None]                       # [K, H]
+    up_slope = jnp.maximum(27.0 - 0.367 * jnp.maximum(lm - 40.0, 0.0), 0.0)
+    drop = jnp.where(dz < 0, 27.0 * (-dz), up_slope[:, None] * dz)
+    return (lm - delta)[:, None] - drop
+
+
+def masked_threshold(time_frame, c: PsyConsts):
+    """Masked-threshold intensity at each line. time_frame: [N] → [H].
+
+    One fused graph: FFT → intensities → peak pick → top-K tonal maskers →
+    dense spreading → (optional) per-band noise maskers → intensity sum with
+    threshold in quiet.
+    """
+    h = c.freqs.shape[0]
+    xf = jnp.fft.fft(time_frame.astype(c.hann.dtype) * c.hann)[:h]
+    ii = c.fft_gain * jnp.abs(xf) ** 2                       # [H] line intensity
+
+    # --- tonal maskers: interior local maxima, ±1-bin aggregation
+    left = jnp.concatenate([jnp.full((1,), jnp.inf, ii.dtype), ii[:-1]])
+    right = jnp.concatenate([ii[1:], jnp.full((1,), jnp.inf, ii.dtype)])
+    is_peak = (ii > left) & (ii >= right)
+    agg = ii + jnp.concatenate([jnp.zeros(1, ii.dtype), ii[:-1]]) \
+             + jnp.concatenate([ii[1:], jnp.zeros(1, ii.dtype)])
+    peak_i = jnp.where(is_peak, agg, 0.0)
+    k = min(c.max_maskers, h)
+    top_i, top_idx = jax.lax.top_k(peak_i, k)                # ties → lower idx
+    valid = top_i > 0.0
+
+    # intensity-weighted center frequency over the 3 aggregated bins
+    fm_num = (jnp.take(ii, jnp.maximum(top_idx - 1, 0)) * jnp.take(c.freqs, jnp.maximum(top_idx - 1, 0))
+              + jnp.take(ii, top_idx) * jnp.take(c.freqs, top_idx)
+              + jnp.take(ii, jnp.minimum(top_idx + 1, h - 1)) * jnp.take(c.freqs, jnp.minimum(top_idx + 1, h - 1)))
+    fm = fm_num / jnp.maximum(top_i, 1e-40)
+    lm = spl_from_intensity(top_i)                           # [K]
+    zm = bark(fm)
+
+    spread = _spread_spl(lm, zm, c.delta_tonal, c.zline)     # [K, H]
+    spread = jnp.where(valid[:, None], spread, _NEG)
+    thr_i = jnp.sum(intensity_from_spl(spread) * valid[:, None], axis=0)
+
+    if c.noise_maskers:
+        # bins swallowed by a kept tonal masker (±1) are excluded from noise
+        d = jnp.abs(jnp.arange(h)[None, :] - top_idx[:, None])  # [K, H]
+        near_peak = jnp.any((d <= 1) & valid[:, None], axis=0)
+        noise_line_i = jnp.where(near_peak, 0.0, ii)
+        nb = bands.N_BANDS
+        noise_i = jops.segment_sum(noise_line_i, c.band_of_line, num_segments=nb)
+        ln = spl_from_intensity(noise_i)                     # [B]
+        nspread = _spread_spl(ln, c.noise_z, c.delta_noise, c.zline)  # [B, H]
+        nvalid = noise_i > 0.0
+        thr_i = thr_i + jnp.sum(intensity_from_spl(nspread) * nvalid[:, None], axis=0)
+
+    return thr_i + c.quiet_i
+
+
+def calc_smrs(time_frame, mdct_lines, c: PsyConsts):
+    """SMR per scale-factor band. time_frame: [N], mdct_lines: [H] (pre-
+    rescale). Returns [N_BANDS] f32/f64; empty bands get a large negative."""
+    thr_spl = spl_from_intensity(masked_threshold(time_frame, c))
+    line_spl = spl_from_intensity(c.mdct_gain * mdct_lines.astype(thr_spl.dtype) ** 2)
+    smr_line = line_spl - thr_spl
+    nb = bands.N_BANDS
+    smr = jops.segment_max(smr_line, c.band_of_line, num_segments=nb)
+    return jnp.where(c.n_lines > 0, smr, _NEG)
