@@ -68,7 +68,8 @@ def main(argv=None) -> int:
     pd = sub.add_parser("decode", help="PAC-T → WAV")
     pd.add_argument("input"); pd.add_argument("output")
     pd.add_argument("--precision", choices=["parity", "fast"],
-                    default="parity")
+                    default="fast",
+                    help="parity = f64 FFT path (needs JAX_ENABLE_X64)")
 
     pi = sub.add_parser("info", help="print PAC-T header as JSON")
     pi.add_argument("input")

@@ -1,0 +1,87 @@
+"""Per-channel Encode/Decode (oracle, serial). SURVEY.md §2 #4, SPEC.md §4–§6.
+
+Oracle counterpart of the reference's ``codec.py``. Every step is the
+serial form of the corresponding tac stage (tac/codec.py encode_frame /
+decode_frame); decisions must agree integer-for-integer per SPEC.md §10.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from tac import bands
+from tac.config import CodecConfig
+from tac.oracle import bitalloc as ba
+from tac.oracle import psychoac as psy
+from tac.oracle import quantize as qz
+from tac.oracle.mdct import IMDCT, MDCT
+from tac.oracle.window import get_window
+
+
+def mantissa_budget(cfg: CodecConfig, h: int) -> int:
+    """SPEC.md §6 per-(block, channel) mantissa bit budget."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    b = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
+        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0)
+    return max(int(b), 0)
+
+
+def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig):
+    """[N] samples → (ovs, alloc[B], scale[B], mant list per band)."""
+    h = cfg.n_mdct_lines
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    w = get_window(cfg.window, 2 * h, cfg.kbd_alpha)
+    X = MDCT(w * fullBlock, h, h)
+
+    ovs = qz.ScaleFactor(np.max(np.abs(X)), s, a)
+
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    bol = bands.band_of_line(cfg.sample_rate, h)
+    if cfg.use_psy and cfg.alloc_mode in ("greedy", "const_mnr"):
+        smr = psy.CalcSMRs(fullBlock, X, 0, cfg.sample_rate, w)
+    elif cfg.alloc_mode == "const_snr":
+        spl = psy.SPL(8.0 / np.mean(w ** 2) * X ** 2)
+        smr = np.full(bands.N_BANDS, -1e30)
+        for k in range(h):
+            smr[bol[k]] = max(smr[bol[k]], spl[k])
+    else:
+        smr = np.zeros(bands.N_BANDS)
+
+    budget = mantissa_budget(cfg, h)
+    alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
+                        ba.snap_smr(smr) if cfg.alloc_mode != "uniform"
+                        else np.zeros(bands.N_BANDS))
+
+    scaled = X * 2.0 ** ovs
+    scale = np.zeros(bands.N_BANDS, np.int64)
+    mant = []
+    lo = 0
+    for b in range(bands.N_BANDS):
+        nl = int(n_lines[b])
+        lines = scaled[lo:lo + nl]
+        lo += nl
+        if alloc[b] > 0 and nl > 0:
+            scale[b] = qz.ScaleFactor(np.max(np.abs(lines)), s, int(alloc[b]))
+            mant.append(qz.vMantissa(lines, int(scale[b]), s, int(alloc[b])))
+        else:
+            mant.append([])
+    return ovs, alloc, scale, mant
+
+
+def DecodeSingleChannel(ovs: int, alloc, scale, mant, cfg: CodecConfig
+                        ) -> np.ndarray:
+    """Quantized tuple → [N] windowed time block (pre-overlap-add)."""
+    h = cfg.n_mdct_lines
+    s = cfg.n_scale_bits
+    w = get_window(cfg.window, 2 * h, cfg.kbd_alpha)
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    scaled = np.zeros(h)
+    lo = 0
+    for b in range(bands.N_BANDS):
+        nl = int(n_lines[b])
+        if alloc[b] > 0 and nl > 0:
+            scaled[lo:lo + nl] = qz.vDequantizeMantissa(
+                mant[b], int(scale[b]), s, int(alloc[b]))
+        lo += nl
+    X = scaled * 2.0 ** (-ovs)
+    return w * IMDCT(X, h, h)

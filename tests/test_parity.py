@@ -1,0 +1,103 @@
+"""End-to-end parity: tac (JAX, parity precision) vs tac.oracle (serial NumPy).
+
+SPEC.md §10: byte-identical streams on the deterministic test material at
+64/128 kbps; cross-decodability both ways; fast-mode SNR within 0.1 dB of
+parity mode.
+"""
+
+import numpy as np
+import pytest
+
+from tac import api
+from tac.config import PRESETS
+from tac.oracle import decode_array as o_dec, encode_array as o_enc
+
+
+def _snr(x, y):
+    x, y = x[: len(y)], y[: len(x)]
+    return 10 * np.log10(np.mean(x ** 2) / max(np.mean((x - y) ** 2), 1e-30))
+
+
+@pytest.fixture(scope="module")
+def clip44():
+    fs = 44100
+    t = np.arange(fs // 2) / fs
+    sig = sum(a * np.sin(2 * np.pi * f * t)
+              for a, f in [(0.43, 440), (0.24, 554), (0.15, 660),
+                           (0.12, 880), (0.05, 4400), (0.03, 8800)])
+    rng = np.random.default_rng(42)
+    return np.stack([sig, 0.8 * sig + 0.02 * rng.standard_normal(len(t))], 1), fs
+
+
+@pytest.fixture(scope="module")
+def clip16():
+    fs = 16000
+    t = np.arange(fs // 2) / fs
+    rng = np.random.default_rng(7)
+    x = (0.5 * np.sin(2 * np.pi * 440 * t)
+         + 0.1 * np.sin(2 * np.pi * 3000 * t)
+         + 0.01 * rng.standard_normal(len(t)))
+    return x[:, None], fs
+
+
+def test_config1_byte_identical(clip16):
+    x, fs = clip16
+    cfg = PRESETS["mono16-64"]
+    assert o_enc(x, cfg) == api.encode_array(x, cfg)
+
+
+def test_config2_byte_identical(clip44):
+    x, fs = clip44
+    cfg = PRESETS["stereo44-128"].replace(precision="parity")
+    assert o_enc(x, cfg) == api.encode_array(x, cfg)
+
+
+def test_cross_decode(clip16):
+    """Oracle stream → tac decoder and tac stream → oracle decoder."""
+    x, fs = clip16
+    cfg = PRESETS["mono16-64"]
+    d_o, d_t = o_enc(x, cfg), api.encode_array(x, cfg)
+    y_to = api.decode_array(d_o)[0]          # tac decodes oracle bytes
+    y_ot = o_dec(d_t)[0]                     # oracle decodes tac bytes
+    y_oo = o_dec(d_o)[0]
+    np.testing.assert_allclose(y_to[:, 0], y_oo[:, 0], atol=2e-6)
+    np.testing.assert_allclose(y_ot, y_oo, atol=1e-12)
+
+
+def test_decode_roundtrip_snr(clip44):
+    x, fs = clip44
+    cfg = PRESETS["stereo44-128"].replace(precision="parity")
+    data = api.encode_array(x, cfg)
+    y, fs2 = api.decode_array(data)
+    assert fs2 == fs
+    assert y.shape == x.shape
+    assert _snr(x, y) > 15.0
+
+
+def test_fast_mode_snr_within_tolerance(clip44):
+    """SPEC.md §10: fast (f32 matmul MDCT) within 0.1 dB of parity."""
+    x, fs = clip44
+    base = PRESETS["stereo44-128"]
+    d_par = api.encode_array(x, base.replace(precision="parity"))
+    d_fast = api.encode_array(x, base.replace(precision="fast"))
+    s_par = _snr(x, api.decode_array(d_par)[0])
+    s_fast = _snr(x, api.decode_array(d_fast, precision="fast")[0])
+    assert abs(s_par - s_fast) < 0.1
+    # mantissa-level agreement >= 99.9 %
+    from tac import codec
+    c_par = codec.encode_clip(x.T, base.replace(precision="parity"))
+    c_fast = codec.encode_clip(x.T, base.replace(precision="fast"))
+    m1, m2 = np.asarray(c_par.mant), np.asarray(c_fast.mant)
+    assert np.mean(m1 == m2) > 0.999
+
+
+def test_rd_monotonicity(clip44):
+    """SNR non-decreasing (within slack) across the bitrate ladder."""
+    x, fs = clip44
+    snrs = []
+    for kbps in (64, 128, 256):
+        cfg = PRESETS["stereo44-128"].replace(bitrate_bps=kbps * 1000)
+        y = api.decode_array(api.encode_array(x, cfg))[0]
+        snrs.append(_snr(x, y))
+    assert snrs[1] > snrs[0] - 0.5 and snrs[2] > snrs[1] - 0.5
+    assert snrs[2] > snrs[0] + 3.0
