@@ -1,0 +1,95 @@
+"""North-star benchmark: audio-sec encoded per second per chip.
+
+Flagship config (BASELINE config 2): stereo 44.1 kHz, full psychoacoustic
+model, greedy allocation @128 kbps. Measures the FULL encode path — device
+pipeline (window/MDCT/psy/alloc/quantize, one jit) plus host bitstream
+packing — against the serial NumPy oracle (tac/oracle, the reference-style
+implementation, BASELINE.md "reference encode speed" denominator).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def make_clips(b: int, seconds: float, fs: int = 44100) -> np.ndarray:
+    rng = np.random.default_rng(0)
+    t = np.arange(int(fs * seconds)) / fs
+    clips = []
+    for i in range(b):
+        f0 = 220.0 * (1 + i % 8)
+        sig = sum(a * np.sin(2 * np.pi * f0 * k * t)
+                  for k, a in [(1, 0.4), (2, 0.2), (3, 0.1), (7, 0.03)])
+        ch2 = 0.8 * sig + 0.02 * rng.standard_normal(len(t))
+        clips.append(np.stack([sig, ch2]))
+    return np.stack(clips).astype(np.float32)       # [B, 2, T]
+
+
+def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
+    """Returns audio-sec encoded per wall-second (full path, bytes out)."""
+    import jax
+
+    from tac import api, bands, parallel
+
+    fs = cfg.sample_rate
+    b, c, t = x.shape
+    h = cfg.n_mdct_lines
+    n_lines = bands.lines_per_band(fs, h)
+    xd = jax.device_put(x)
+
+    def run():
+        code = parallel.encode_batch(xd, cfg)
+        jax.block_until_ready(code)
+        code_np = [np.asarray(l) for l in code]
+        blobs = []
+        for i in range(b):
+            from tac.codec import FrameCode
+            blobs.append(api.frames_to_payload(
+                FrameCode(*[l[i] for l in code_np]), cfg, h, n_lines))
+        return blobs
+
+    run()                                           # compile + warm caches
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        blobs = run()
+    dt = (time.perf_counter() - t0) / iters
+    assert sum(len(bl) for bl in blobs) > 0
+    return b * (t / fs) / dt
+
+
+def bench_oracle(seconds: float = 2.0) -> float:
+    """Serial reference-style encoder throughput (audio-sec/sec, 1 core)."""
+    from tac.config import PRESETS
+    from tac.oracle import encode_array
+
+    cfg = PRESETS["stereo44-128"]
+    x = make_clips(1, seconds)[0].T                 # [T, 2]
+    t0 = time.perf_counter()
+    data = encode_array(np.asarray(x, np.float64), cfg)
+    dt = time.perf_counter() - t0
+    assert len(data) > 0
+    return seconds / dt
+
+
+def main() -> None:
+    from tac.config import PRESETS
+
+    cfg = PRESETS["stereo44-128"]                   # precision="fast"
+    x = make_clips(b=8, seconds=30.0, fs=cfg.sample_rate)
+    tac_tput = bench_tac(x, cfg)
+    oracle_tput = bench_oracle()
+    print(json.dumps({
+        "metric": "encode_throughput_44k_stereo",
+        "value": round(tac_tput, 1),
+        "unit": "audio_sec_per_sec_per_chip",
+        "vs_baseline": round(tac_tput / oracle_tput, 1),
+    }))
+
+
+if __name__ == "__main__":
+    main()
