@@ -31,27 +31,27 @@ def make_clips(b: int, seconds: float, fs: int = 44100) -> np.ndarray:
 
 
 def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
-    """Returns audio-sec encoded per wall-second (full path, bytes out)."""
+    """Returns audio-sec encoded per wall-second (full path, bytes out).
+
+    Bit packing happens ON DEVICE (tac.ops.bitpack): the device→host
+    transfer is just the payload words, i.e. ~the bitstream itself.
+    """
     import jax
 
-    from tac import api, bands, parallel
+    from tac import parallel
+    from tac.ops import bitpack as dbp
 
     fs = cfg.sample_rate
     b, c, t = x.shape
-    h = cfg.n_mdct_lines
-    n_lines = bands.lines_per_band(fs, h)
     xd = jax.device_put(x)
 
     def run():
-        code = parallel.encode_batch(xd, cfg)
-        jax.block_until_ready(code)
-        code_np = [np.asarray(l) for l in code]
-        blobs = []
-        for i in range(b):
-            from tac.codec import FrameCode
-            blobs.append(api.frames_to_payload(
-                FrameCode(*[l[i] for l in code_np]), cfg, h, n_lines))
-        return blobs
+        words, nbits = parallel.encode_batch_packed(xd, cfg)
+        jax.block_until_ready((words, nbits))
+        w_np, n_np = np.asarray(words), np.asarray(nbits)
+        return [dbp.rows_to_stream(w_np[i].swapaxes(0, 1),
+                                   n_np[i].swapaxes(0, 1))
+                for i in range(b)]
 
     run()                                           # compile + warm caches
     t0 = time.perf_counter()

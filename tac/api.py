@@ -109,6 +109,97 @@ def payload_to_frames(data: bytes, offset: int, n_blocks: int,
                      scale=to_cf(sf), mant=to_cf(mant))
 
 
+# ------------------------------------------------------- vbr serialization --
+
+def frames_to_payload_vbr(vbr, cfg: CodecConfig, h: int,
+                          n_lines: np.ndarray) -> bytes:
+    """VbrCode [C, F, ...] → interleaved block stream (SPEC.md §7 huffman
+    layout: ovs | 2-bit tableId | allocs | sfs | coded mantissas | pad)."""
+    from tac import huffman as hf
+
+    code, tids = vbr.code, np.asarray(vbr.table_id)
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    c, f = code.ovs.shape
+    k = f * c
+    to_k = lambda x: np.asarray(x).swapaxes(0, 1).reshape(k, *x.shape[2:])
+    ovs, alloc_code = to_k(code.ovs), to_k(code.alloc_code)
+    sf, mant = to_k(code.scale), to_k(code.mant)
+    tid = tids.swapaxes(0, 1).reshape(k)
+    alloc = np.where(alloc_code > 0, alloc_code + 1, 0).astype(np.int64)
+    band_of_line = bands.band_of_line(cfg.sample_rate, h)
+    m_line = alloc[:, band_of_line]                       # [K, H]
+
+    # huffman field pairs for every line; raw rows overwrite below
+    hvals, hwids = hf.encode_fields(mant, m_line)         # [K, H, 2]
+    raw_rows = tid == 0
+    hvals[raw_rows, :, 0] = mant[raw_rows]
+    hwids[raw_rows, :, 0] = m_line[raw_rows]
+    hvals[raw_rows, :, 1] = 0
+    hwids[raw_rows, :, 1] = 0
+
+    nf = 2 + 2 * _B + 2 * h + 1
+    vals = np.zeros((k, nf), np.int64)
+    wids = np.zeros((k, nf), np.int64)
+    vals[:, 0] = ovs;                 wids[:, 0] = s
+    vals[:, 1] = tid;                 wids[:, 1] = 2
+    vals[:, 2:2 + _B] = alloc_code;   wids[:, 2:2 + _B] = a
+    vals[:, 2 + _B:2 + 2 * _B] = sf
+    wids[:, 2 + _B:2 + 2 * _B] = np.where(alloc > 0, s, 0)
+    vals[:, 2 + 2 * _B:2 + 2 * _B + 2 * h] = hvals.reshape(k, 2 * h)
+    wids[:, 2 + 2 * _B:2 + 2 * _B + 2 * h] = hwids.reshape(k, 2 * h)
+    bits = wids[:, :-1].sum(axis=1)
+    wids[:, -1] = (-bits) % 8
+    payload = bs.pack_fields(vals.ravel(), wids.ravel())
+    return bs.assemble_blocks(payload, (bits + wids[:, -1]) // 8)
+
+
+def payload_to_frames_vbr(data: bytes, offset: int, n_blocks: int,
+                          cfg: CodecConfig, h: int) -> FrameCode:
+    """Inverse of frames_to_payload_vbr (decode side, SPEC.md §8)."""
+    from tac import huffman as hf
+
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    c = cfg.n_channels
+    k = n_blocks * c
+    offs, _lens = bs.split_blocks(data, offset, k)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    base = offs * 8
+    band_of_line = bands.band_of_line(cfg.sample_rate, h)
+
+    head_w = np.concatenate([[s, 2], np.full(_B, a)]).astype(np.int64)
+    head_off = base[:, None] + np.concatenate(
+        [[0, s], s + 2 + a * np.arange(_B)])
+    head = bs.unpack_at(bits, head_off.ravel(),
+                        np.tile(head_w, k)).reshape(k, 2 + _B)
+    ovs, tid, alloc_code = head[:, 0], head[:, 1], head[:, 2:]
+    alloc = np.where(alloc_code > 0, alloc_code + 1, 0)
+
+    sf_w = np.where(alloc > 0, s, 0).astype(np.int64)
+    sf_end = np.cumsum(sf_w, axis=1)
+    sf_off = base[:, None] + (s + 2 + a * _B) + (sf_end - sf_w)
+    sf = bs.unpack_at(bits, sf_off.ravel(), sf_w.ravel()).reshape(k, _B)
+
+    m_line = alloc[:, band_of_line].astype(np.int64)
+    mant = np.zeros((k, h), np.int64)
+    mant_start = base + (s + 2 + a * _B) + sf_end[:, -1]
+    raw_rows = np.nonzero(tid == 0)[0]
+    if raw_rows.size:
+        me = np.cumsum(m_line[raw_rows], axis=1)
+        mo = mant_start[raw_rows, None] + (me - m_line[raw_rows])
+        mant[raw_rows] = bs.unpack_at(
+            bits, mo.ravel(), m_line[raw_rows].ravel()).reshape(-1, h)
+    for i in np.nonzero(tid == 1)[0]:
+        mant[i], _ = hf.decode_lines(bits, int(mant_start[i]), m_line[i])
+
+    def to_cf(x):
+        return jnp.asarray(np.ascontiguousarray(
+            x.reshape(n_blocks, c, *x.shape[1:]).swapaxes(0, 1)
+        ).astype(np.int32))
+
+    return FrameCode(ovs=to_cf(ovs), alloc_code=to_cf(alloc_code),
+                     scale=to_cf(sf), mant=to_cf(mant))
+
+
 # ------------------------------------------------------------ public api ----
 
 def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
@@ -120,8 +211,16 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     if c != cfg.n_channels:
         cfg = cfg.replace(n_channels=c)
     h = cfg.n_mdct_lines
-    code = codec.encode_clip(x.T, cfg)
     n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    if cfg.use_huffman:
+        vbr = codec.encode_clip_vbr(x.T, cfg)
+        payload = frames_to_payload_vbr(vbr, cfg, h, n_lines)
+    else:
+        # bit-pack on device; only payload words cross the host link
+        from tac.ops import bitpack as dbp
+        words, nbits = codec.encode_clip_packed(x.T, cfg)
+        payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
+                                     np.asarray(nbits).swapaxes(0, 1))
     hdr = bs.PacHeader(
         sample_rate=cfg.sample_rate, n_channels=c, num_samples=t,
         bitrate_bps=cfg.bitrate_bps, n_mdct_lines=h,
@@ -129,7 +228,7 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         n_scale_bits=cfg.n_scale_bits, n_mant_size_bits=cfg.n_mant_size_bits,
         n_lines_long=n_lines, n_lines_short=None,
         huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
-    return bs.write_header(hdr) + frames_to_payload(code, cfg, h, n_lines)
+    return bs.write_header(hdr) + payload
 
 
 def decode_array(data: bytes, precision: str = "parity"
@@ -146,7 +245,10 @@ def decode_array(data: bytes, precision: str = "parity"
     h = hdr.n_mdct_lines
     from tac.dsp.mdct import num_frames
     f = num_frames(hdr.num_samples, h)
-    code = payload_to_frames(data, off, f, cfg, h)
+    if hdr.huffman:
+        code = payload_to_frames_vbr(data, off, f, cfg, h)
+    else:
+        code = payload_to_frames(data, off, f, cfg, h)
     x = codec.decode_clip(code, cfg, hdr.num_samples)     # [C, T]
     return np.asarray(x).T.astype(np.float32), hdr.sample_rate
 

@@ -53,10 +53,12 @@ def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
     dtype = jnp.float64 if cfg.precision == "parity" else jnp.float32
     w = window_fn(cfg.window, n, cfg.kbd_alpha)
     nl = bands.lines_per_band(cfg.sample_rate, h)
-    # SPEC.md §6 budget
+    # SPEC.md §6 budget (2-bit tableId / windowState side fields come out
+    # of the mantissa budget in huffman / blockswitch modes)
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     budget = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
-        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0)
+        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0) \
+        - (2 if cfg.use_huffman else 0)
     return CodecConsts(
         window=jnp.asarray(w, dtype),
         fwd_basis=jnp.asarray(fb.mdct_basis(h, w, np.float64), dtype),
@@ -89,8 +91,13 @@ def _smr_input(frame, lines, cfg: CodecConfig, c: CodecConsts):
     return jnp.zeros(bands.N_BANDS, c.dtype)  # uniform
 
 
-def encode_frame(frame, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
-    """frame: [N] time samples (unwindowed) → FrameCode. Pure, vmappable."""
+def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
+                 budget=None) -> FrameCode:
+    """frame: [N] time samples (unwindowed) → FrameCode. Pure, vmappable.
+
+    budget: optional traced int32 override of the static per-frame mantissa
+    budget (used by the VBR bit-reservoir scan, SPEC.md §8).
+    """
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     if cfg.precision == "parity":
         lines = fb.mdct_fft(frame * c.window, c.window.shape[0] // 2)
@@ -100,8 +107,9 @@ def encode_frame(frame, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
 
     ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     smr = _smr_input(frame, lines, cfg, c)
-    alloc = ba.allocate(smr, c.n_lines, c.budget, cfg.alloc_mode,
-                        cfg.max_mant_bits)
+    alloc = ba.allocate(smr, c.n_lines,
+                        c.budget if budget is None else budget,
+                        cfg.alloc_mode, cfg.max_mant_bits)
 
     # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))
@@ -130,6 +138,106 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
         return fb.imdct_fft(lines, lines.shape[-1]) * c.window
     return jnp.dot(lines, c.inv_basis,
                    preferred_element_type=c.inv_basis.dtype)
+
+
+# ------------------------------------------------- device-packed payloads ---
+
+def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
+    """Device-side (vals, wids) field matrices per SPEC.md §7 raw layout:
+    ovs | B alloc codes | B scale factors (0-width where alloc=0) |
+    H mantissas (width = band alloc). Leaves [..., NF] with NF = 1+2B+H.
+    Byte-rounding pad is implicit (buffer is zeroed)."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    alloc = ba.code_to_alloc(code.alloc_code)
+    m_line = alloc[..., c.band_of_line]
+    ones = jnp.ones_like(code.alloc_code)
+    vals = jnp.concatenate([code.ovs[..., None], code.alloc_code,
+                            code.scale, code.mant], axis=-1)
+    wids = jnp.concatenate([jnp.full_like(code.ovs[..., None], s),
+                            ones * a, jnp.where(alloc > 0, s, 0),
+                            m_line], axis=-1)
+    return vals, wids
+
+
+def payload_capacity_bits(cfg: CodecConfig, c: CodecConsts) -> int:
+    nb = bands.N_BANDS
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    head = s + nb * (a + s) + (2 if cfg.use_huffman else 0)
+    budget_max = c.budget * ((1 + cfg.reservoir_factor)
+                             if cfg.use_huffman else 1)
+    return head + budget_max + 32
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_packed_impl(x, cfg: CodecConfig):
+    """Encode + bit-pack entirely on device: only payload words + bit counts
+    cross the device→host link (SURVEY.md §3.5 boundary minimization)."""
+    from tac.ops.bitpack import pack_rows
+
+    c = make_consts(cfg)
+    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
+    code = jax.vmap(jax.vmap(lambda fr: encode_frame(fr, cfg, c)))(frames)
+    vals, wids = payload_fields(code, cfg, c)
+    return pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+
+
+def encode_clip_packed(x, cfg: CodecConfig):
+    """x: [C, T] → (words uint32[C, F, W32], nbits int32[C, F])."""
+    return _encode_clip_packed_impl(x, cfg)
+
+
+# ----------------------------------------------------------- VBR (huffman) --
+
+class VbrCode(NamedTuple):
+    """FrameCode + per-frame entropy-coding decisions (SPEC.md §8)."""
+    code: FrameCode
+    table_id: jnp.ndarray    # [C, F] int32: 0 = raw, 1 = trained tables
+    used_bits: jnp.ndarray   # [C, F] int32 mantissa payload bits actually used
+
+
+def _encode_channel_vbr(frames_1ch, cfg: CodecConfig, c: CodecConsts,
+                        cost_tab):
+    """Bit-reservoir scan over one channel's frames (SPEC.md §8).
+
+    The reservoir makes frames *sequentially* dependent — the one place the
+    encoder is a lax.scan instead of a vmap. carry = reservoir fill (int32);
+    per step: allocate with budget = base + reservoir, price the mantissas
+    raw vs Huffman (device table gather), bank the savings.
+    """
+    from tac import huffman as hf
+
+    base = jnp.asarray(c.budget, jnp.int32)
+    cap = jnp.asarray(cfg.reservoir_factor * c.budget, jnp.int32)
+
+    def step(res, frame):
+        code = encode_frame(frame, cfg, c, budget=base + res)
+        m_line = ba.code_to_alloc(code.alloc_code)[c.band_of_line]
+        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
+        table_id = (huf < raw).astype(jnp.int32)
+        used = jnp.minimum(raw, huf).astype(jnp.int32)
+        res2 = jnp.clip(res + base - used, 0, cap)
+        return res2, (code, table_id, used)
+
+    _, (codes, tids, used) = jax.lax.scan(step, jnp.asarray(0, jnp.int32),
+                                          frames_1ch)
+    return codes, tids, used
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_vbr_impl(x, cfg: CodecConfig) -> VbrCode:
+    from tac import huffman as hf
+
+    c = make_consts(cfg)
+    cost_tab = hf.cost_table_jnp()
+    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
+    codes, tids, used = jax.vmap(
+        lambda fr: _encode_channel_vbr(fr, cfg, c, cost_tab))(frames)
+    return VbrCode(code=codes, table_id=tids, used_bits=used)
+
+
+def encode_clip_vbr(x, cfg: CodecConfig) -> VbrCode:
+    """x: [C, T] → VbrCode; the use_huffman entry point (jitted per shape)."""
+    return _encode_clip_vbr_impl(x, cfg)
 
 
 # ------------------------------------------------------- clip-level entry ---

@@ -1,0 +1,176 @@
+"""Huffman entropy coding for mantissas (SPEC.md §8; SURVEY.md §2 #11).
+
+TPU-native split (SURVEY.md §7 step 9): the *decision* side (per-symbol bit
+costs, raw-vs-Huffman choice, bit-reservoir arithmetic) runs on device as
+table gathers inside the jitted encode scan; the *serialization* side
+(codeword emission, canonical table walk on decode) runs host-side,
+vectorized with numpy where offsets are static and a small LUT walk where
+they are data-dependent.
+
+Tables: canonical, trained offline by tools/train_huffman.py, committed as
+tac/huffman_tables.json. Symbols = raw m-bit mantissa codes + ESCAPE
+(= 2^m); escape emits the raw m bits after its codeword. tableId: 0 = raw,
+1 = trained set (2 bits per block per channel).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from functools import lru_cache
+
+import numpy as np
+import jax.numpy as jnp
+
+MIN_M, MAX_M = 2, 8          # Huffman-codable mantissa sizes
+TABLES_PATH = os.path.join(os.path.dirname(__file__), "huffman_tables.json")
+
+
+@lru_cache(maxsize=1)
+def load_tables() -> dict[int, dict[str, np.ndarray]]:
+    """{m: {lengths[2^m + 1], codes[2^m + 1]}} (last symbol = ESCAPE)."""
+    with open(TABLES_PATH) as f:
+        raw = json.load(f)
+    out = {}
+    for m_str, t in raw.items():
+        m = int(m_str)
+        out[m] = {"lengths": np.asarray(t["lengths"], np.int64),
+                  "codes": np.asarray(t["codes"], np.int64)}
+    return out
+
+
+@lru_cache(maxsize=1)
+def cost_table_np() -> np.ndarray:
+    """int32[MAX_M - 1, 2^MAX_M]: effective coded bits of symbol s at
+    mantissa size m (row m - MIN_M). Escaped symbols cost esc_len + m."""
+    tabs = load_tables()
+    out = np.zeros((MAX_M - MIN_M + 1, 2 ** MAX_M), np.int32)
+    for m in range(MIN_M, MAX_M + 1):
+        lens = tabs[m]["lengths"]
+        esc = lens[-1] + m
+        row = np.where(lens[:-1] > 0, lens[:-1], esc)
+        out[m - MIN_M, : 2 ** m] = row
+    return out
+
+
+def cost_table_jnp() -> jnp.ndarray:
+    return jnp.asarray(cost_table_np())
+
+
+def frame_mantissa_costs(mant, m_line, cost_tab):
+    """Device-side per-frame coded sizes. mant, m_line: int32[H].
+
+    Returns (raw_bits, huffman_bits): raw = sum m_line; huffman = table
+    lookup for 2 <= m <= 8, raw m bits otherwise (SPEC.md §8).
+    """
+    raw = jnp.sum(m_line)
+    codable = (m_line >= MIN_M) & (m_line <= MAX_M)
+    row = jnp.clip(m_line - MIN_M, 0, MAX_M - MIN_M)
+    huff_line = cost_tab[row, jnp.clip(mant, 0, 2 ** MAX_M - 1)]
+    bits = jnp.where(codable, huff_line, m_line)
+    return raw, jnp.sum(bits)
+
+
+# ------------------------------------------------------- host: encoding ----
+
+@lru_cache(maxsize=1)
+def _enc_arrays():
+    """Per-m encode arrays padded to [MAX_M+1 rows, 2^MAX_M cols]:
+    (code, len, escaped?). Row index = m (0/1 rows unused)."""
+    tabs = load_tables()
+    codes = np.zeros((MAX_M + 1, 2 ** MAX_M), np.int64)
+    lens = np.zeros((MAX_M + 1, 2 ** MAX_M), np.int64)
+    escaped = np.zeros((MAX_M + 1, 2 ** MAX_M), bool)
+    for m in range(MIN_M, MAX_M + 1):
+        t = tabs[m]
+        n = 2 ** m
+        esc_code, esc_len = t["codes"][-1], t["lengths"][-1]
+        has = t["lengths"][:-1] > 0
+        codes[m, :n] = np.where(has, t["codes"][:-1], esc_code)
+        lens[m, :n] = np.where(has, t["lengths"][:-1], esc_len)
+        escaped[m, :n] = ~has
+    return codes, lens, escaped
+
+
+def encode_fields(mant: np.ndarray, m_line: np.ndarray):
+    """Huffman-coded field pairs for one or more frames' mantissas.
+
+    mant, m_line: int[..., H] → (vals, wids) of shape [..., H, 2]: per line
+    a codeword field and an escape-raw field (width 0 when not escaped or
+    m outside [2, 8] — then the codeword field IS the raw mantissa).
+    """
+    codes, lens, escaped = _enc_arrays()
+    m = np.clip(m_line, 0, MAX_M)
+    codable = (m_line >= MIN_M) & (m_line <= MAX_M)
+    sym = np.clip(mant, 0, 2 ** MAX_M - 1)
+    cw = np.where(codable, codes[m, sym], mant)
+    cl = np.where(codable, lens[m, sym], m_line)
+    esc = codable & escaped[m, sym]
+    vals = np.stack([cw, np.where(esc, mant, 0)], axis=-1)
+    wids = np.stack([cl, np.where(esc, m_line, 0)], axis=-1)
+    return vals, wids
+
+
+# ------------------------------------------------------- host: decoding ----
+
+@lru_cache(maxsize=1)
+def _dec_luts():
+    """Per-m peek LUTs: (lut_sym[2^L], lut_len[2^L], L, escape_symbol)."""
+    tabs = load_tables()
+    luts = {}
+    for m in range(MIN_M, MAX_M + 1):
+        t = tabs[m]
+        lens, codes = t["lengths"], t["codes"]
+        L = int(max(lens))
+        sym_lut = np.zeros(1 << L, np.int32)
+        len_lut = np.zeros(1 << L, np.int32)
+        for s, (l, c) in enumerate(zip(lens, codes)):
+            if l == 0:
+                continue
+            base = c << (L - l)
+            span = 1 << (L - l)
+            sym_lut[base:base + span] = s
+            len_lut[base:base + span] = l
+        luts[m] = (sym_lut, len_lut, L, 2 ** m)
+    return luts
+
+
+def decode_lines(bits: np.ndarray, start: int, m_per_line: np.ndarray
+                 ) -> tuple[np.ndarray, int]:
+    """Sequential canonical decode of one block's mantissa run.
+
+    bits: uint8[*] unpacked bit array; start: absolute bit offset;
+    m_per_line: int[H] mantissa size per line (0 = absent).
+    Returns (mant[H], end_offset).
+    """
+    luts = _dec_luts()
+    out = np.zeros(len(m_per_line), np.int64)
+    pos = start
+    # integer view for fast peek: pad bits tail
+    for i, m in enumerate(m_per_line):
+        m = int(m)
+        if m == 0:
+            continue
+        if m < MIN_M or m > MAX_M:
+            v = 0
+            for _ in range(m):
+                v = (v << 1) | int(bits[pos])
+                pos += 1
+            out[i] = v
+            continue
+        sym_lut, len_lut, L, esc = luts[m]
+        peek = 0
+        for j in range(L):
+            b = int(bits[pos + j]) if pos + j < len(bits) else 0
+            peek = (peek << 1) | b
+        s = int(sym_lut[peek])
+        pos += int(len_lut[peek])
+        if s == esc:
+            v = 0
+            for _ in range(m):
+                v = (v << 1) | int(bits[pos])
+                pos += 1
+            out[i] = v
+        else:
+            out[i] = s
+    return out, pos

@@ -1,0 +1,89 @@
+"""Device-side MSB-first bit packing (the TPU replacement for host packing).
+
+The reference packs bit-by-bit in Python (its #1 hot loop, SURVEY.md §3.1);
+tac.bitstream packs vectorized on host. This module moves packing ONTO the
+TPU so only the true payload bytes cross the device→host link (the encode
+pipeline's only large transfer — measured dominant over the remote-TPU
+tunnel, and flaky for multi-MB transfers).
+
+Scheme: every field (width ≤ 16 < 32 bits) lands in at most two adjacent
+32-bit words of a per-row capacity buffer. Packing is two masked
+scatter-adds per field; fields never share bits, so carry-free integer adds
+equal bitwise OR. Bit order: stream bit p = bit (31 - p%32) of word p//32,
+i.e. big-endian within a word — byte-compatible with
+tac.bitstream.pack_fields (verified bit-exact in tests/test_device_pack.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+
+def pack_rows(vals, wids, cap_bits: int):
+    """Pack fields MSB-first per row, on device.
+
+    vals: int32[..., NF] field values (< 2^width, width ≤ 16);
+    wids: int32[..., NF] field widths (0 = absent);
+    cap_bits: static per-row capacity (rounded up to a word multiple).
+
+    Returns (words uint32[..., W32], nbits int32[...]) where the packed
+    stream of row r is the big-endian byte view of words[r, :ceil(nbits/32)].
+    """
+    import jax
+
+    w32 = -(-cap_bits // 32)
+    vals = jnp.asarray(vals, jnp.uint32)
+    wids_ = jnp.asarray(wids, jnp.int32)
+    lead = vals.shape[:-1]
+    nf = vals.shape[-1]
+
+    def pack_one(v, wd):
+        end = jnp.cumsum(wd)
+        start = end - wd
+        word0 = start >> 5                   # first word touched
+        r = (start & 31).astype(jnp.uint32)  # MSB-first offset within word0
+        w = wd.astype(jnp.uint32)
+        n0 = jnp.minimum(r + w, 32) - r      # bits landing in word0
+        n1 = w - n0                          # bits spilling into word0 + 1
+        c0 = jnp.where(wd > 0, (v >> (w - n0)) << (32 - r - n0), 0)
+        c1 = jnp.where(n1 > 0,
+                       (v & ((jnp.uint32(1) << n1) - 1)) << (32 - n1), 0)
+        buf = jnp.zeros(w32 + 1, jnp.uint32)  # +1 slop word for the spill
+        buf = buf.at[word0].add(c0, mode="drop")
+        buf = buf.at[word0 + 1].add(c1, mode="drop")
+        return buf[:w32], end[-1]
+
+    words, nbits = jax.vmap(pack_one)(vals.reshape(-1, nf),
+                                      wids_.reshape(-1, nf))
+    return words.reshape(*lead, w32), nbits.reshape(lead)
+
+
+def rows_to_bytes(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
+    """Host finalization: big-endian byte view, trimmed to ceil(nbits/8)."""
+    words = np.asarray(words)
+    flat = words.reshape(-1, words.shape[-1]).astype(">u4").view(np.uint8)
+    nbytes = -(-np.asarray(nbits).reshape(-1) // 8)
+    return [flat[i, : nbytes[i]].tobytes() for i in range(flat.shape[0])]
+
+
+def rows_to_stream(words: np.ndarray, nbits: np.ndarray) -> bytes:
+    """Host finalization into the PAC-T block stream: u16 length prefix per
+    row + payload bytes, rows in storage order (vectorized, no per-row
+    Python loop on the hot path)."""
+    words = np.asarray(words)
+    k = int(np.prod(words.shape[:-1]))
+    flat = words.reshape(k, words.shape[-1]).astype(">u4").view(np.uint8)
+    nbytes = (-(-np.asarray(nbits).reshape(k) // 8)).astype(np.int64)
+    total = int(nbytes.sum()) + 2 * k
+    out = np.empty(total, np.uint8)
+    dst_end = np.cumsum(nbytes + 2)
+    dst_start = dst_end - nbytes
+    le = nbytes.astype("<u2").view(np.uint8).reshape(-1, 2)
+    out[dst_start - 2] = le[:, 0]
+    out[dst_start - 1] = le[:, 1]
+    fid = np.repeat(np.arange(k), nbytes)
+    pos = np.arange(int(nbytes.sum()), dtype=np.int64) \
+        - np.repeat(np.cumsum(nbytes) - nbytes, nbytes)
+    out[dst_start[fid] + pos] = flat[fid, pos]
+    return out.tobytes()

@@ -22,12 +22,18 @@ def mantissa_budget(cfg: CodecConfig, h: int) -> int:
     """SPEC.md §6 per-(block, channel) mantissa bit budget."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     b = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
-        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0)
+        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0) \
+        - (2 if cfg.use_huffman else 0)
     return max(int(b), 0)
 
 
-def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig):
-    """[N] samples → (ovs, alloc[B], scale[B], mant list per band)."""
+def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig,
+                        budget: int | None = None):
+    """[N] samples → (ovs, alloc[B], scale[B], mant list per band).
+
+    budget overrides the static per-frame mantissa budget (VBR reservoir,
+    SPEC.md §8) — must mirror tac.codec.encode_frame(budget=...).
+    """
     h = cfg.n_mdct_lines
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     w = get_window(cfg.window, 2 * h, cfg.kbd_alpha)
@@ -47,7 +53,8 @@ def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig):
     else:
         smr = np.zeros(bands.N_BANDS)
 
-    budget = mantissa_budget(cfg, h)
+    if budget is None:
+        budget = mantissa_budget(cfg, h)
     alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
                         ba.snap_smr(smr) if cfg.alloc_mode != "uniform"
                         else np.zeros(bands.N_BANDS))

@@ -19,29 +19,90 @@ from tac.oracle.bitpack import PackedBits
 from tac.oracle.codec import DecodeSingleChannel, EncodeSingleChannel
 
 
-def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig) -> bytes:
-    """One channel's payload per SPEC.md §7 (no blockswitch/huffman)."""
+def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig,
+                   table_id: int | None = None) -> bytes:
+    """One channel's payload per SPEC.md §7 (table_id set in huffman mode)."""
+    from tac import huffman as hf
+
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     pb = PackedBits()
     pb.WriteBits(int(ovs), s)
+    if table_id is not None:
+        pb.WriteBits(int(table_id), 2)
     for b in range(bands.N_BANDS):
         code = int(alloc[b]) - 1 if alloc[b] > 0 else 0
         pb.WriteBits(code, a)
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
-    for b in range(bands.N_BANDS):
-        for m in mant[b]:
-            pb.WriteBits(int(m), int(alloc[b]))
+    if table_id == 1:
+        tabs = hf.load_tables()
+        for b in range(bands.N_BANDS):
+            m = int(alloc[b])
+            for q in mant[b]:
+                q = int(q)
+                if hf.MIN_M <= m <= hf.MAX_M:
+                    t = tabs[m]
+                    if t["lengths"][q] > 0:
+                        pb.WriteBits(int(t["codes"][q]),
+                                     int(t["lengths"][q]))
+                    else:                     # escape + raw m bits
+                        pb.WriteBits(int(t["codes"][-1]),
+                                     int(t["lengths"][-1]))
+                        pb.WriteBits(q, m)
+                else:
+                    pb.WriteBits(q, m)
+    else:
+        for b in range(bands.N_BANDS):
+            for m in mant[b]:
+                pb.WriteBits(int(m), int(alloc[b]))
     return pb.GetPackedData()
 
 
+def _mantissa_costs(alloc, mant, cfg: CodecConfig) -> tuple[int, int]:
+    """(raw_bits, huffman_bits) for one channel's mantissas (SPEC.md §8)."""
+    from tac import huffman as hf
+
+    cost = hf.cost_table_np()
+    raw = huf = 0
+    for b in range(bands.N_BANDS):
+        m = int(alloc[b])
+        for q in mant[b]:
+            raw += m
+            if hf.MIN_M <= m <= hf.MAX_M:
+                huf += int(cost[m - hf.MIN_M, int(q)])
+            else:
+                huf += m
+    return raw, huf
+
+
+def _read_huffman_symbol(pb: PackedBits, m: int, tabs) -> int:
+    """Canonical-code walk: extend bit by bit until a (len, code) matches."""
+    t = tabs[m]
+    by_len: dict[int, dict[int, int]] = {}
+    for sym, (l, c) in enumerate(zip(t["lengths"], t["codes"])):
+        if l > 0:
+            by_len.setdefault(int(l), {})[int(c)] = sym
+    code = 0
+    for l in range(1, max(by_len) + 1):
+        code = (code << 1) | pb.ReadBits(1)
+        sym = by_len.get(l, {}).get(code)
+        if sym is not None:
+            if sym == 2 ** m:                 # ESCAPE → raw m bits follow
+                return pb.ReadBits(m)
+            return sym
+    raise ValueError("invalid Huffman stream")
+
+
 def _read_payload(data: bytes, cfg: CodecConfig):
+    from tac import huffman as hf
+
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     n_lines = bands.lines_per_band(cfg.sample_rate, cfg.n_mdct_lines)
     pb = PackedBits()
     pb.SetPackedData(data)
     ovs = pb.ReadBits(s)
+    table_id = pb.ReadBits(2) if cfg.use_huffman else 0
     alloc = np.zeros(bands.N_BANDS, np.int64)
     for b in range(bands.N_BANDS):
         c = pb.ReadBits(a)
@@ -50,13 +111,17 @@ def _read_payload(data: bytes, cfg: CodecConfig):
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
+    tabs = hf.load_tables() if table_id == 1 else None
     mant = []
     for b in range(bands.N_BANDS):
-        if alloc[b] > 0:
-            mant.append([pb.ReadBits(int(alloc[b]))
+        m = int(alloc[b])
+        if m <= 0:
+            mant.append([])
+        elif table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+            mant.append([_read_huffman_symbol(pb, m, tabs)
                          for _ in range(int(n_lines[b]))])
         else:
-            mant.append([])
+            mant.append([pb.ReadBits(m) for _ in range(int(n_lines[b]))])
     return ovs, alloc, scale, mant
 
 
@@ -85,15 +150,32 @@ class PACFile(AudioFile):
             blockswitch=cfg.use_block_switch)
         self.fp.write(bs.write_header(hdr))
         self._prior = [np.zeros(h) for _ in range(cp.nChannels)]
+        self._res = [0] * cp.nChannels       # VBR bit reservoir (SPEC.md §8)
 
     def WriteDataBlock(self, data, cp: CodingParams) -> None:
         """data: list of [H] new samples per channel (the reference's serial
         overlap contract, SURVEY.md §3.1)."""
+        from tac.oracle.codec import mantissa_budget
+
+        cfg = self.cfg
+        base = mantissa_budget(cfg, cfg.n_mdct_lines)
+        cap = cfg.reservoir_factor * base
         for c in range(cp.nChannels):
             full = np.concatenate([self._prior[c], data[c]])
             self._prior[c] = np.asarray(data[c], np.float64).copy()
-            payload = _write_payload(*EncodeSingleChannel(full, self.cfg),
-                                     self.cfg)
+            if cfg.use_huffman:
+                budget = base + self._res[c]
+                ovs, alloc, scale, mant = EncodeSingleChannel(full, cfg,
+                                                              budget)
+                raw, huf = _mantissa_costs(alloc, mant, cfg)
+                tid = 1 if huf < raw else 0
+                used = min(raw, huf)
+                self._res[c] = min(max(self._res[c] + base - used, 0), cap)
+                payload = _write_payload(ovs, alloc, scale, mant, cfg,
+                                         table_id=tid)
+            else:
+                payload = _write_payload(*EncodeSingleChannel(full, cfg),
+                                         cfg)
             self.fp.write(len(payload).to_bytes(2, "little"))
             self.fp.write(payload)
 
@@ -114,7 +196,9 @@ class PACFile(AudioFile):
             sample_rate=hdr.sample_rate, n_channels=hdr.n_channels,
             bitrate_bps=hdr.bitrate_bps, n_mdct_lines=hdr.n_mdct_lines,
             n_scale_bits=hdr.n_scale_bits,
-            n_mant_size_bits=hdr.n_mant_size_bits)
+            n_mant_size_bits=hdr.n_mant_size_bits,
+            use_huffman=hdr.huffman, use_block_switch=hdr.blockswitch,
+            n_mdct_lines_short=max(hdr.n_mdct_lines_short, 1))
         cp = CodingParams()
         cp.sampleRate = hdr.sample_rate
         cp.nChannels = hdr.n_channels

@@ -61,6 +61,17 @@ def _encode_batch_jit(x, cfg: CodecConfig):
     return jax.vmap(lambda xi: codec._encode_clip_impl(xi, cfg))(x)
 
 
+def encode_batch_packed(x, cfg: CodecConfig):
+    """Batched device-packed encode. x: [B, C, T] →
+    (words uint32[B, C, F, W32], nbits int32[B, C, F])."""
+    return _encode_batch_packed_jit(x, cfg)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_batch_packed_jit(x, cfg: CodecConfig):
+    return jax.vmap(lambda xi: codec._encode_clip_packed_impl(xi, cfg))(x)
+
+
 def encode_batch_sharded(x, cfg: CodecConfig, mesh: Mesh) -> FrameCode:
     """Corpus encode over the mesh clips axis. x: [B, C, T], B divisible by
     the clips axis size. Pure DP: out leaves stay sharded on "clips"."""

@@ -1,0 +1,150 @@
+"""Offline canonical-Huffman table trainer (SPEC.md §8).
+
+Deterministic: fixed-seed synthetic corpus (tonal + transient + noise
+material), encoded with the fixed-rate pipeline at several bitrates;
+mantissa-code histograms per mantissa size m in {2..8} feed a standard
+Huffman build, then canonicalization (len-major, symbol-minor). Symbols are
+the 2^m raw codes plus ESCAPE (= 2^m); rare symbols (and anything that
+would push max code length past MAX_LEN) collapse into ESCAPE, which emits
+the raw m bits after its codeword.
+
+Writes tac/huffman_tables.json. Run: python tools/train_huffman.py
+"""
+
+from __future__ import annotations
+
+import heapq
+import json
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+MAX_LEN = 16
+ESCAPE_MIN_FREQ = 1e-5          # symbols rarer than this (relative) escape
+
+
+def corpus(fs: int = 44100, seconds: float = 4.0) -> list[np.ndarray]:
+    rng = np.random.default_rng(422)
+    t = np.arange(int(fs * seconds)) / fs
+    clips = []
+    # tonal: harmonic stacks
+    for f0 in (110.0, 262.0, 440.0, 880.0):
+        sig = sum(0.5 / k * np.sin(2 * np.pi * f0 * k * t) for k in range(1, 8))
+        clips.append(0.5 * sig / np.max(np.abs(sig)))
+    # noise-like
+    clips.append(0.3 * rng.standard_normal(len(t)))
+    # filtered noise (pink-ish via cumsum + HPF)
+    p = np.cumsum(rng.standard_normal(len(t)))
+    p = p - np.convolve(p, np.ones(512) / 512, "same")
+    clips.append(0.3 * p / np.max(np.abs(p)))
+    # transients: decaying impulses
+    imp = np.zeros(len(t))
+    for i in range(8):
+        k = int(fs * seconds * (i + 0.3) / 9)
+        imp[k:k + 2000] += np.exp(-np.arange(2000) / 300.0) \
+            * np.sin(2 * np.pi * 1500 * np.arange(2000) / fs)
+    clips.append(0.6 * imp / np.max(np.abs(imp)))
+    return clips
+
+
+def collect_histograms() -> dict[int, np.ndarray]:
+    from tac import bands, codec
+    from tac.config import CodecConfig
+
+    hists = {m: np.zeros(2 ** m, np.int64) for m in range(2, 9)}
+    for kbps in (64, 96, 128, 192):
+        cfg = CodecConfig(sample_rate=44100, n_channels=1,
+                          bitrate_bps=kbps * 1000, use_psy=True,
+                          precision="fast")
+        bol = bands.band_of_line(cfg.sample_rate, cfg.n_mdct_lines)
+        for clip in corpus():
+            code = codec.encode_clip(clip[None, :], cfg)
+            alloc = np.asarray(code.alloc_code)          # [C, F, B]
+            alloc = np.where(alloc > 0, alloc + 1, 0)
+            mant = np.asarray(code.mant)                 # [C, F, H]
+            m_line = alloc[..., bol]                     # [C, F, H]
+            for m in range(2, 9):
+                sel = mant[m_line == m]
+                if sel.size:
+                    hists[m] += np.bincount(sel, minlength=2 ** m)
+    return hists
+
+
+def build_canonical(freq: np.ndarray) -> tuple[list[int], list[int]]:
+    """freq over syms 0..2^m (last = ESCAPE) → canonical (lengths, codes)."""
+    n = len(freq)
+    # Huffman lengths via heap of (freq, tiebreak, node)
+    heap = [(int(f), i, i) for i, f in enumerate(freq) if f > 0]
+    if len(heap) == 1:
+        lengths = [0] * n
+        lengths[heap[0][2]] = 1
+        return lengths, assign_codes(lengths)
+    heapq.heapify(heap)
+    parent: dict[int, int] = {}
+    nxt = n
+    while len(heap) > 1:
+        f1, _, a = heapq.heappop(heap)
+        f2, _, b = heapq.heappop(heap)
+        parent[a] = nxt
+        parent[b] = nxt
+        heapq.heappush(heap, (f1 + f2, nxt, nxt))
+        nxt += 1
+    lengths = [0] * n
+    for i in range(n):
+        if freq[i] > 0:
+            d, j = 0, i
+            while j in parent:
+                j = parent[j]
+                d += 1
+            lengths[i] = d
+    return lengths, assign_codes(lengths)
+
+
+def assign_codes(lengths: list[int]) -> list[int]:
+    """Canonical code assignment: shorter first, then symbol order."""
+    order = sorted((l, s) for s, l in enumerate(lengths) if l > 0)
+    codes = [0] * len(lengths)
+    code, prev_len = 0, 0
+    for l, s in order:
+        code <<= (l - prev_len)
+        codes[s] = code
+        code += 1
+        prev_len = l
+    return codes
+
+
+def train() -> dict:
+    hists = collect_histograms()
+    tables = {}
+    for m in range(2, 9):
+        h = hists[m].astype(np.float64)
+        total = max(h.sum(), 1.0)
+        keep = h / total >= ESCAPE_MIN_FREQ
+        esc_freq = h[~keep].sum() + 1.0          # escape always representable
+        freq = np.concatenate([np.where(keep, h, 0.0), [esc_freq]])
+        lengths, codes = build_canonical(freq)
+        while max(lengths) > MAX_LEN:            # flatten tail into escape
+            thresh = np.partition(freq[freq > 0], 8)[8]
+            drop = (freq[:-1] > 0) & (freq[:-1] <= thresh)
+            freq[-1] += freq[:-1][drop].sum()
+            freq[:-1][drop] = 0.0
+            lengths, codes = build_canonical(freq)
+        tables[str(m)] = {"lengths": lengths, "codes": codes}
+        kept = sum(1 for l in lengths[:-1] if l)
+        bits = np.where(np.array(lengths[:-1]) > 0,
+                        np.array(lengths[:-1]), lengths[-1] + m)
+        avg = float((h * bits).sum() / total)
+        print(f"m={m}: {kept}/{2**m} kept, maxlen={max(lengths)}, "
+              f"avg {avg:.2f} vs raw {m} bits")
+    return tables
+
+
+if __name__ == "__main__":
+    out = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tac", "huffman_tables.json")
+    with open(out, "w") as f:
+        json.dump(train(), f)
+    print("wrote", out)
