@@ -212,7 +212,13 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         cfg = cfg.replace(n_channels=c)
     h = cfg.n_mdct_lines
     n_lines = bands.lines_per_band(cfg.sample_rate, h)
-    if cfg.use_huffman:
+    if cfg.use_block_switch:
+        from tac import blockswitch as bsw
+        from tac.ops import bitpack as dbp
+        words, nbits = bsw.encode_clip_bs_packed(x.T, cfg)
+        payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
+                                     np.asarray(nbits).swapaxes(0, 1))
+    elif cfg.use_huffman:
         vbr = codec.encode_clip_vbr(x.T, cfg)
         payload = frames_to_payload_vbr(vbr, cfg, h, n_lines)
     else:
@@ -226,7 +232,10 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         bitrate_bps=cfg.bitrate_bps, n_mdct_lines=h,
         n_mdct_lines_short=cfg.n_mdct_lines_short if cfg.use_block_switch else 0,
         n_scale_bits=cfg.n_scale_bits, n_mant_size_bits=cfg.n_mant_size_bits,
-        n_lines_long=n_lines, n_lines_short=None,
+        n_lines_long=n_lines,
+        n_lines_short=(bands.lines_per_band(cfg.sample_rate,
+                                            cfg.n_mdct_lines_short)
+                       if cfg.use_block_switch else None),
         huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
     return bs.write_header(hdr) + payload
 
@@ -245,11 +254,16 @@ def decode_array(data: bytes, precision: str = "parity"
     h = hdr.n_mdct_lines
     from tac.dsp.mdct import num_frames
     f = num_frames(hdr.num_samples, h)
-    if hdr.huffman:
-        code = payload_to_frames_vbr(data, off, f, cfg, h)
+    if hdr.blockswitch:
+        from tac import blockswitch as bsw
+        bc = bsw.payload_to_frames_bs(data, off, f, cfg)
+        x = bsw.decode_clip_bs(bc, cfg, hdr.num_samples)
     else:
-        code = payload_to_frames(data, off, f, cfg, h)
-    x = codec.decode_clip(code, cfg, hdr.num_samples)     # [C, T]
+        if hdr.huffman:
+            code = payload_to_frames_vbr(data, off, f, cfg, h)
+        else:
+            code = payload_to_frames(data, off, f, cfg, h)
+        x = codec.decode_clip(code, cfg, hdr.num_samples)  # [C, T]
     return np.asarray(x).T.astype(np.float32), hdr.sample_rate
 
 

@@ -1,0 +1,328 @@
+"""Long/short block switching with transient detection (SPEC.md §9).
+
+Capability parity with the reference's block-switching extension
+(SURVEY.md §2 #12), redesigned TPU-first:
+
+  * the reference's serial window-sequence FSM becomes VECTORIZED neighbor
+    logic on per-half-block transient flags — no scan, no data-dependent
+    control flow (SPEC.md §9 freezes the equivalence);
+  * frame shapes stay rectangular: every frame computes BOTH the long-style
+    encode (window selected per state from a [4, N] table) and the grouped
+    K-sub-block short encode, and the bitstream picks by state — the
+    pad-to-long + mask strategy of SURVEY.md §7 step 10 (2x compute, zero
+    dynamic shapes);
+  * short frames use AAC-style GROUPING (shared ovs/alloc/scale factors
+    over the K sub-blocks, SPEC.md §9): the short payload has the SAME
+    field layout and budget as a long payload, only the line→band map
+    differs — so serialization is one rectangular field matrix for every
+    state;
+  * start/stop hybrid windows preserve TDAC across every legal state pair.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from tac import bands, psy as psy_mod
+from tac import codec as codec_mod
+from tac.codec import CodecConsts, FrameCode
+from tac.config import CodecConfig
+from tac.dsp import mdct as fb
+from tac.dsp.window import sine_window, transition_windows, window_fn
+
+LONG, START, SHORT, STOP = 0, 1, 2, 3
+EPS = 1e-12
+
+
+class BsConsts(NamedTuple):
+    """Host-built constants for the block-switching pipeline."""
+    state_windows: jnp.ndarray   # [4, N] long/start/(unused)/stop windows
+    state_gain: jnp.ndarray      # [4] psy MDCT gain 8/mean(w^2) per state
+    short_window: jnp.ndarray    # [2*Hs]
+    fwd_long: jnp.ndarray        # [N, H] UNwindowed cosine basis
+    inv_long: jnp.ndarray        # [H, N]
+    fwd_short: jnp.ndarray       # [2*Hs, Hs] short basis, window fused
+    inv_short: jnp.ndarray       # [Hs, 2*Hs]
+    sub_idx: jnp.ndarray         # [K, 2*Hs] frame-local sub-block gather
+    cl: CodecConsts              # long-side consts (shared budget inside)
+    cg: CodecConsts              # GROUPED short consts: band map tiled K
+    psy_short: psy_mod.PsyConsts | None
+    h3: int
+    k: int
+
+
+class BsFrameCode(NamedTuple):
+    """Both encodings of one frame; `state` picks at serialization time.
+    Long and grouped-short codes share shapes ([B] bands, [H] mantissas)."""
+    state: jnp.ndarray           # [] int32 window state
+    long: FrameCode
+    short: FrameCode             # grouped: mant = flattened [K*Hs] = [H]
+
+
+def make_bs_consts(cfg: CodecConfig) -> BsConsts:
+    h, hs = cfg.n_mdct_lines, cfg.n_mdct_lines_short
+    n, k, h3 = 2 * h, h // hs, (h - hs) // 2
+    dt = np.float64 if cfg.precision == "parity" else np.float32
+    wl = window_fn(cfg.window, n, cfg.kbd_alpha)
+    wstart, wstop = transition_windows(n, 2 * hs, cfg.window, cfg.kbd_alpha)
+    ws = sine_window(2 * hs)
+    state_w = np.stack([wl, wstart, wl, wstop])      # SHORT slot unused
+    gains = 8.0 / np.mean(state_w ** 2, axis=1)
+
+    cl = codec_mod.make_consts(cfg)
+    # SPEC §9: every state uses the same budget (huffman excluded with bs)
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    budget = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
+        - 2 - s - bands.N_BANDS * (s + a)
+    cl = cl._replace(budget=max(int(budget), 0))
+
+    # grouped short consts: the flattened [K*Hs] line vector's band map
+    bol_s = bands.band_of_line(cfg.sample_rate, hs)
+    nl_s = bands.lines_per_band(cfg.sample_rate, hs)
+    scfg = cfg.replace(n_mdct_lines=hs)
+    cg = cl._replace(
+        band_of_line=jnp.asarray(np.tile(bol_s, k)),
+        n_lines=jnp.asarray(k * nl_s),
+        window=jnp.asarray(ws, dt))
+
+    sub_idx = h3 + np.arange(k)[:, None] * hs + np.arange(2 * hs)[None, :]
+    return BsConsts(
+        state_windows=jnp.asarray(state_w, dt),
+        state_gain=jnp.asarray(gains, dt),
+        short_window=jnp.asarray(ws, dt),
+        fwd_long=jnp.asarray(fb.mdct_basis(h, None, np.float64), dt),
+        inv_long=jnp.asarray(fb.imdct_basis(h, None, np.float64), dt),
+        fwd_short=jnp.asarray(fb.mdct_basis(hs, ws, np.float64), dt),
+        inv_short=jnp.asarray(fb.imdct_basis(hs, ws, np.float64), dt),
+        sub_idx=jnp.asarray(sub_idx, jnp.int32),
+        cl=cl, cg=cg,
+        psy_short=psy_mod.make_consts(scfg) if cfg.use_psy else None,
+        h3=h3, k=k)
+
+
+# -------------------------------------------------------------- detection ---
+
+def transient_flags(x, cfg: CodecConfig):
+    """x: [..., T] → bool[..., Kb] per unpadded half-block (SPEC.md §9)."""
+    h = cfg.n_mdct_lines
+    t = x.shape[-1]
+    kb = -(-t // h)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, kb * h - t)]
+    blocks = jnp.pad(x, pad).reshape(*x.shape[:-1], kb, h)
+    d2 = jnp.square(jnp.diff(blocks, axis=-1))           # [..., Kb, H-1]
+    edges = np.round(np.arange(9) * (h - 1) / 8).astype(int)
+    cum = jnp.cumsum(d2, axis=-1)
+    cum = jnp.concatenate([jnp.zeros_like(cum[..., :1]), cum], axis=-1)
+    e = cum[..., edges[1:]] - cum[..., edges[:-1]]       # [..., Kb, 8]
+    ratio = e[..., 1:] / jnp.maximum(e[..., :-1], EPS)
+    return (jnp.max(ratio, axis=-1) > cfg.transient_ratio) \
+        & (jnp.max(e[..., 1:], axis=-1) > cfg.transient_energy_min)
+
+
+def window_states(t_flags, f: int):
+    """t_flags: bool[..., Kb] → int32[..., F] window states, VECTORIZED
+    (SPEC.md §9 neighbor logic; provably TDAC-mesh-consistent)."""
+    kb = t_flags.shape[-1]
+    pad = [(0, 0)] * (t_flags.ndim - 1)
+    tp = jnp.pad(t_flags, pad + [(1, max(f - kb, 1))])   # t[-1], t[>=Kb] = 0
+    want = tp[..., :f] | tp[..., 1:f + 1]                # want[i] = t[i-1]|t[i]
+    wprev = jnp.pad(want, pad + [(1, 0)])[..., :f]
+    wnext = jnp.pad(want, pad + [(0, 1)])[..., 1:]
+    short = want | (wprev & wnext)
+    start = (~short) & wnext
+    stop = (~short) & (~start) & wprev
+    return jnp.where(short, SHORT,
+                     jnp.where(start, START,
+                               jnp.where(stop, STOP, LONG))).astype(jnp.int32)
+
+
+# ----------------------------------------------------------------- encode ---
+
+def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts
+                    ) -> BsFrameCode:
+    """frame: [N] (unwindowed), state: [] int32 → both encodings."""
+    w = c.state_windows[state]
+    if cfg.precision == "parity":
+        lines_l = fb.mdct_fft(frame * w, c.cl.window.shape[0] // 2)
+    else:
+        lines_l = jnp.dot(frame * w, c.fwd_long,
+                          preferred_element_type=c.fwd_long.dtype)
+    if cfg.use_psy:
+        smr_l = psy_mod.calc_smrs(frame, lines_l, c.cl.psy,
+                                  mdct_gain=c.state_gain[state])
+    else:
+        smr_l = jnp.zeros(bands.N_BANDS, c.cl.dtype)
+    code_l = codec_mod.quantize_lines(lines_l, smr_l, cfg, c.cl)
+
+    sub = frame[c.sub_idx]                               # [K, 2Hs]
+    if cfg.precision == "parity":
+        lines_s = fb.mdct_fft(sub * c.short_window, c.cg.window.shape[0] // 2)
+    else:
+        lines_s = jnp.dot(sub, c.fwd_short,
+                          preferred_element_type=c.fwd_short.dtype)
+    if cfg.use_psy:
+        smr_s = jax.vmap(lambda fr, ln: psy_mod.calc_smrs(
+            fr, ln, c.psy_short))(sub, lines_s)
+        smr_s = jnp.max(smr_s, axis=0)                   # group: worst case
+    else:
+        smr_s = jnp.zeros(bands.N_BANDS, c.cg.dtype)
+    code_s = codec_mod.quantize_lines(lines_s.reshape(-1), smr_s, cfg, c.cg)
+    return BsFrameCode(state=state, long=code_l, short=code_s)
+
+
+def decode_frame_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
+    """BsFrameCode → [N] windowed output (pre-overlap-add)."""
+    h = cfg.n_mdct_lines
+    n = 2 * h
+    s = cfg.n_scale_bits
+
+    def dequant(fc: FrameCode, cc: CodecConsts):
+        alloc = codec_mod.ba.code_to_alloc(fc.alloc_code)
+        m_line = alloc[cc.band_of_line]
+        sf_line = fc.scale[cc.band_of_line]
+        scaled = codec_mod.quant.dequantize_mantissa(fc.mant, sf_line, s,
+                                                     m_line, cc.dtype)
+        return scaled * jnp.exp2(-fc.ovs.astype(cc.dtype))
+
+    lines_l = dequant(bc.long, c.cl)
+    w = c.state_windows[bc.state]
+    if cfg.precision == "parity":
+        y_long = fb.imdct_fft(lines_l, h) * w
+    else:
+        y_long = jnp.dot(lines_l, c.inv_long,
+                         preferred_element_type=c.inv_long.dtype) * w
+
+    lines_s = dequant(bc.short, c.cg).reshape(c.k, -1)   # [K, Hs]
+    if cfg.precision == "parity":
+        y_sub = fb.imdct_fft(lines_s, lines_s.shape[-1]) * c.short_window
+    else:
+        y_sub = jnp.dot(lines_s, c.inv_short,
+                        preferred_element_type=c.inv_short.dtype)
+    y_short = jnp.zeros(n, y_sub.dtype).at[c.sub_idx].add(y_sub)
+    return jnp.where(bc.state == SHORT, y_short.astype(y_long.dtype), y_long)
+
+
+# ---------------------------------------------------------- serialization ---
+
+def payload_fields_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
+    """Device-side (vals, wids), SPEC.md §9: [2-bit state | §7 fields],
+    values/widths selected per state (long vs grouped short — same NF)."""
+    lv, lw = codec_mod.payload_fields(bc.long, cfg, c.cl)
+    sv, sw = codec_mod.payload_fields(bc.short, cfg, c.cg)
+    is_short = (bc.state == SHORT)[..., None]
+    v = jnp.where(is_short, sv, lv)
+    w = jnp.where(is_short, sw, lw)
+    vals = jnp.concatenate([bc.state[..., None], v], axis=-1)
+    wids = jnp.concatenate([jnp.full_like(bc.state[..., None], 2), w],
+                           axis=-1)
+    return vals, wids
+
+
+def capacity_bits_bs(cfg: CodecConfig, c: BsConsts) -> int:
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    return 2 + s + bands.N_BANDS * (a + s) + c.cl.budget + 32
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):
+    from tac.ops.bitpack import pack_rows
+
+    c = make_bs_consts(cfg)
+    h = cfg.n_mdct_lines
+    xt = x.astype(c.cl.dtype)
+    frames = fb.frame_signal(xt, h)
+    f = frames.shape[-2]
+    states = window_states(transient_flags(xt, cfg), f)
+    bc = jax.vmap(jax.vmap(
+        lambda fr, st: encode_frame_bs(fr, st, cfg, c)))(frames, states)
+    vals, wids = payload_fields_bs(bc, cfg, c)
+    return pack_rows(vals, wids, capacity_bits_bs(cfg, c))
+
+
+def encode_clip_bs_packed(x, cfg: CodecConfig):
+    """x: [C, T] → (words uint32[C, F, W32], nbits int32[C, F])."""
+    return _encode_clip_bs_packed_impl(x, cfg)
+
+
+def payload_to_frames_bs(data: bytes, offset: int, n_blocks: int,
+                         cfg: CodecConfig) -> BsFrameCode:
+    """Host-side deserializer. The field layout is state-independent except
+    for the mantissa line→band map, so parsing stays fully vectorized."""
+    from tac import bitstream as bs
+
+    h, hs = cfg.n_mdct_lines, cfg.n_mdct_lines_short
+    k_sub = h // hs
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    ch = cfg.n_channels
+    k = n_blocks * ch
+    offs, _ = bs.split_blocks(data, offset, k)
+    bits = np.unpackbits(np.frombuffer(data, np.uint8))
+    base = offs * 8
+
+    head_w = np.concatenate([[2, s], np.full(nb, a)]).astype(np.int64)
+    head_off = base[:, None] + np.concatenate(
+        [[0, 2], 2 + s + a * np.arange(nb)])
+    head = bs.unpack_at(bits, head_off.ravel(), np.tile(head_w, k)
+                        ).reshape(k, 2 + nb)
+    state, ovs, alloc_code = head[:, 0], head[:, 1], head[:, 2:]
+    alloc = np.where(alloc_code > 0, alloc_code + 1, 0)
+
+    sf_w = np.where(alloc > 0, s, 0).astype(np.int64)
+    sf_end = np.cumsum(sf_w, axis=1)
+    sf_off = base[:, None] + (2 + s + a * nb) + (sf_end - sf_w)
+    sf = bs.unpack_at(bits, sf_off.ravel(), sf_w.ravel()).reshape(k, nb)
+
+    bol_l = bands.band_of_line(cfg.sample_rate, h)
+    bol_g = np.tile(bands.band_of_line(cfg.sample_rate, hs), k_sub)
+    bol = np.where((state == SHORT)[:, None], bol_g[None, :], bol_l[None, :])
+    m_line = np.take_along_axis(alloc, bol, axis=1).astype(np.int64)
+    m_end = np.cumsum(m_line, axis=1)
+    m_off = base[:, None] + (2 + s + a * nb) + sf_end[:, -1:] \
+        + (m_end - m_line)
+    mant = bs.unpack_at(bits, m_off.ravel(), m_line.ravel()).reshape(k, h)
+
+    def to_cf(x):
+        return jnp.asarray(np.ascontiguousarray(
+            x.reshape(n_blocks, ch, *x.shape[1:]).swapaxes(0, 1)
+        ).astype(np.int32))
+
+    fc = FrameCode(ovs=to_cf(ovs), alloc_code=to_cf(alloc_code),
+                   scale=to_cf(sf), mant=to_cf(mant))
+    return BsFrameCode(state=to_cf(state), long=fc, short=fc)
+
+
+# ------------------------------------------------------------- clip level ---
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_bs_impl(x, cfg: CodecConfig) -> BsFrameCode:
+    c = make_bs_consts(cfg)
+    h = cfg.n_mdct_lines
+    xt = x.astype(c.cl.dtype)
+    frames = fb.frame_signal(xt, h)                      # [C, F, N]
+    f = frames.shape[-2]
+    states = window_states(transient_flags(xt, cfg), f)  # [C, F]
+    enc = jax.vmap(jax.vmap(
+        lambda fr, st: encode_frame_bs(fr, st, cfg, c)))
+    return enc(frames, states)
+
+
+def encode_clip_bs(x, cfg: CodecConfig) -> BsFrameCode:
+    return _encode_clip_bs_impl(x, cfg)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_bs_impl(bc: BsFrameCode, cfg: CodecConfig, t: int):
+    c = make_bs_consts(cfg)
+    dec = jax.vmap(jax.vmap(lambda fc: decode_frame_bs(fc, cfg, c)))
+    y = dec(bc)                                          # [C, F, N]
+    return fb.overlap_add(y, cfg.n_mdct_lines, t)
+
+
+def decode_clip_bs(bc: BsFrameCode, cfg: CodecConfig, t: int):
+    return _decode_clip_bs_impl(bc, cfg, t)

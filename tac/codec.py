@@ -105,8 +105,20 @@ def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
         lines = jnp.dot(frame, c.fwd_basis,
                         preferred_element_type=c.fwd_basis.dtype)
 
-    ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     smr = _smr_input(frame, lines, cfg, c)
+    return quantize_lines(lines, smr, cfg, c, budget)
+
+
+def quantize_lines(lines, smr, cfg: CodecConfig, c: CodecConsts,
+                   budget=None) -> FrameCode:
+    """The decision chain: lines + SMRs → quantized FrameCode (SPEC §4–§6).
+
+    Shared by the long path, the block-switch sub-block path, and the VBR
+    scan. Integer-exact given identical float inputs (SPEC §10 item 1).
+    """
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = c.n_lines.shape[0]
+    ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     alloc = ba.allocate(smr, c.n_lines,
                         c.budget if budget is None else budget,
                         cfg.alloc_mode, cfg.max_mant_bits)
@@ -114,7 +126,7 @@ def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
     # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))
     band_max = jax.ops.segment_max(jnp.abs(scaled), c.band_of_line,
-                                   num_segments=bands.N_BANDS)
+                                   num_segments=nb)
     band_max = jnp.where(c.n_lines > 0, band_max, 0.0)
     sf = quant.scale_factor(band_max, s, alloc)
     sf = jnp.where(alloc > 0, sf, 0)

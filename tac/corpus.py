@@ -1,0 +1,203 @@
+"""Corpus transcoding: batched device encode with manifest-based resume.
+
+The reference's corpus story is a bash loop over files, one process each
+(SURVEY.md §3.5). TPU-native replacement (BASELINE config 4):
+
+  * clips are bucketed by padded length (bounded jit recompiles) and
+    encoded in device batches (vmapped packed encode; shard over a mesh
+    clips axis on multi-chip via tac.parallel);
+  * the zero-padding of a bucket coincides with the codec's own flush
+    padding, so the per-clip byte streams are IDENTICAL to single-clip
+    encodes (asserted in tests) — rows past the clip's true frame count
+    are simply dropped;
+  * per-clip failure isolation: a failed batch falls back to per-clip
+    encodes; a clip failing `retries` times is quarantined, not fatal
+    (SURVEY.md §5.3);
+  * the manifest (JSONL, one record per clip: status, kbps, seconds,
+    encode wall time) makes re-runs idempotent — done clips are skipped
+    (SURVEY.md §5.4/§5.5).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from concurrent.futures import ThreadPoolExecutor
+from typing import Optional, Sequence
+
+import numpy as np
+
+from tac import bands, bitstream as bs
+from tac.config import CodecConfig
+from tac.io.wav import read_wav
+
+
+def _bucket_len(t: int, h: int) -> int:
+    """Pad target: next multiple of 32 half-blocks (bounds recompiles)."""
+    step = 32 * h
+    return max(-(-t // step) * step, step)
+
+
+def _header_bytes(cfg: CodecConfig, n_ch: int, t: int) -> bytes:
+    return bs.write_header(bs.PacHeader(
+        sample_rate=cfg.sample_rate, n_channels=n_ch, num_samples=t,
+        bitrate_bps=cfg.bitrate_bps, n_mdct_lines=cfg.n_mdct_lines,
+        n_mdct_lines_short=cfg.n_mdct_lines_short
+        if cfg.use_block_switch else 0,
+        n_scale_bits=cfg.n_scale_bits,
+        n_mant_size_bits=cfg.n_mant_size_bits,
+        n_lines_long=bands.lines_per_band(cfg.sample_rate,
+                                          cfg.n_mdct_lines),
+        n_lines_short=(bands.lines_per_band(cfg.sample_rate,
+                                            cfg.n_mdct_lines_short)
+                       if cfg.use_block_switch else None),
+        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch))
+
+
+def _load_manifest(path: str) -> dict[str, dict]:
+    done = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                try:
+                    rec = json.loads(line)
+                    done[rec["clip"]] = rec
+                except json.JSONDecodeError:
+                    continue
+    return done
+
+
+class CorpusTranscoder:
+    """Drives WAV→PAC-T transcoding over a corpus with resume + quarantine."""
+
+    def __init__(self, cfg: CodecConfig, out_dir: str,
+                 manifest: Optional[str] = None, batch_size: int = 8,
+                 retries: int = 1, io_threads: int = 4):
+        self.cfg = cfg
+        self.out_dir = out_dir
+        self.manifest_path = manifest or os.path.join(out_dir,
+                                                      "manifest.jsonl")
+        self.batch_size = batch_size
+        self.retries = retries
+        self.io_threads = io_threads
+        os.makedirs(out_dir, exist_ok=True)
+
+    # ------------------------------------------------------------ encode ---
+
+    def _encode_batch(self, clips: list[np.ndarray]) -> list[bytes]:
+        """clips: list of [T_i, C] float arrays → per-clip payload bytes.
+
+        Pads every clip to the common bucket length; drops rows beyond
+        each clip's true frame count (identical bytes to solo encode).
+        """
+        import jax
+
+        from tac import parallel
+        from tac.dsp.mdct import num_frames
+        from tac.ops import bitpack as dbp
+
+        cfg = self.cfg
+        h = cfg.n_mdct_lines
+        tb = max(_bucket_len(c.shape[0], h) for c in clips)
+        batch = np.zeros((len(clips), clips[0].shape[1], tb), np.float32)
+        for i, c in enumerate(clips):
+            batch[i, :, : c.shape[0]] = c.T
+        words, nbits = parallel.encode_batch_packed(
+            jax.device_put(batch), cfg)
+        w_np, n_np = np.asarray(words), np.asarray(nbits)
+        out = []
+        for i, c in enumerate(clips):
+            f = num_frames(c.shape[0], h)
+            out.append(dbp.rows_to_stream(w_np[i, :, :f].swapaxes(0, 1),
+                                          n_np[i, :, :f].swapaxes(0, 1)))
+        return out
+
+    def _encode_one(self, x: np.ndarray) -> bytes:
+        return self._encode_batch([x])[0]
+
+    # ------------------------------------------------------------- drive ---
+
+    def run(self, wav_paths: Sequence[str], log=print) -> dict:
+        done = _load_manifest(self.manifest_path)
+        todo = [p for p in wav_paths
+                if done.get(p, {}).get("status") != "ok"]
+        log(f"corpus: {len(wav_paths)} clips, {len(wav_paths) - len(todo)} "
+            f"already done, {len(todo)} to encode")
+        stats = {"ok": len(wav_paths) - len(todo), "failed": 0,
+                 "audio_s": 0.0, "wall_s": 0.0}
+
+        mf = open(self.manifest_path, "a")
+        pool = ThreadPoolExecutor(self.io_threads)
+        try:
+            for lo in range(0, len(todo), self.batch_size):
+                paths = todo[lo:lo + self.batch_size]
+                loaded = list(pool.map(self._safe_read, paths))
+                good = [(p, x, fs) for p, (x, fs) in zip(paths, loaded)
+                        if x is not None]
+                for p, (x, fs) in zip(paths, loaded):
+                    if x is None:
+                        self._record(mf, stats, p, "read_error")
+                # group by (channels, rate) so one batch = one jit shape set
+                groups: dict = {}
+                for p, x, fs in good:
+                    groups.setdefault((x.shape[1], fs), []).append((p, x))
+                for (n_ch, fs), items in groups.items():
+                    self._run_group(items, n_ch, fs, mf, stats)
+        finally:
+            pool.shutdown(wait=False)
+            mf.close()
+        return stats
+
+    def _run_group(self, items, n_ch, fs, mf, stats):
+        cfg_saved = self.cfg
+        if fs != self.cfg.sample_rate or n_ch != self.cfg.n_channels:
+            self.cfg = self.cfg.replace(sample_rate=fs, n_channels=n_ch)
+        try:
+            t0 = time.perf_counter()
+            try:
+                payloads = self._encode_batch([x for _, x in items])
+            except Exception:
+                payloads = [None] * len(items)     # fall back per clip
+                for i, (_, x) in enumerate(items):
+                    for _ in range(self.retries + 1):
+                        try:
+                            payloads[i] = self._encode_one(x)
+                            break
+                        except Exception:
+                            continue
+            wall = time.perf_counter() - t0
+            for (p, x), payload in zip(items, payloads):
+                if payload is None:
+                    self._record(mf, stats, p, "quarantined")
+                    continue
+                data = _header_bytes(self.cfg, x.shape[1],
+                                     x.shape[0]) + payload
+                out = os.path.join(self.out_dir, os.path.splitext(
+                    os.path.basename(p))[0] + ".pac")
+                with open(out, "wb") as fo:
+                    fo.write(data)
+                dur = x.shape[0] / fs
+                self._record(mf, stats, p, "ok", out=out, seconds=dur,
+                             kbps=len(data) * 8 / dur / 1000.0,
+                             wall_s=wall / len(items))
+        finally:
+            self.cfg = cfg_saved
+
+    @staticmethod
+    def _safe_read(path):
+        try:
+            return read_wav(path)
+        except Exception:
+            return None, None
+
+    def _record(self, mf, stats, clip, status, **kw):
+        rec = {"clip": clip, "status": status, **kw}
+        mf.write(json.dumps(rec) + "\n")
+        mf.flush()
+        if status == "ok":
+            stats["ok"] += 1
+            stats["audio_s"] += kw.get("seconds", 0.0)
+            stats["wall_s"] += kw.get("wall_s", 0.0)
+        else:
+            stats["failed"] += 1

@@ -65,9 +65,30 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     pac.WriteFileHeader(cp)
     n_blocks = -(-t // h)
     xp = np.concatenate([x, np.zeros((n_blocks * h - t, c))])
-    for i in range(n_blocks):
-        pac.WriteDataBlock([xp[i * h:(i + 1) * h, ch] for ch in range(c)], cp)
-    pac.WriteDataBlock([np.zeros(h)] * c, cp)        # flush tail
+
+    if cfg.use_block_switch:
+        from tac.oracle import blockswitch as obs
+        from tac.oracle.bitpack import PackedBits
+        f = n_blocks + 1
+        states = [obs.window_states(obs.transient_flags(x[:, ch], cfg), f)
+                  for ch in range(c)]
+        prior = [np.zeros(h) for _ in range(c)]
+        for i in range(f):
+            newb = xp[i * h:(i + 1) * h] if i < n_blocks \
+                else np.zeros((h, c))
+            for ch in range(c):
+                full = np.concatenate([prior[ch], newb[:, ch]])
+                prior[ch] = newb[:, ch].copy()
+                pb = PackedBits()
+                obs.encode_block_bs(full, int(states[ch][i]), cfg, pb)
+                payload = pb.GetPackedData()
+                pac.fp.write(len(payload).to_bytes(2, "little"))
+                pac.fp.write(payload)
+    else:
+        for i in range(n_blocks):
+            pac.WriteDataBlock([xp[i * h:(i + 1) * h, ch]
+                                for ch in range(c)], cp)
+        pac.WriteDataBlock([np.zeros(h)] * c, cp)    # flush tail
     data = pac.fp.getvalue()
     pac.fp.close()
     del pac._prior                                   # Close must not re-flush
@@ -82,11 +103,35 @@ def decode_array(data: bytes, cfg: CodecConfig | None = None
     pac = PACFile("<mem>", cfg or CodecConfig())
     pac.fp = io.BytesIO(data)
     cp = pac.ReadFileHeader()
-    chunks = []
-    while True:
-        out = pac.ReadDataBlock(cp)
-        if out is None:
-            break
-        chunks.append(np.stack(out, axis=1))
+    if pac.cfg.use_block_switch:
+        from tac.oracle import blockswitch as obs
+        from tac.oracle.bitpack import PackedBits
+        h = pac.cfg.n_mdct_lines
+        tails = [np.zeros(h) for _ in range(cp.nChannels)]
+        chunks = []
+        first = True
+        while pac._off < len(pac._buf):
+            outs = []
+            for ch in range(cp.nChannels):
+                n = int.from_bytes(pac._buf[pac._off:pac._off + 2],
+                                   "little")
+                pac._off += 2
+                pb = PackedBits()
+                pb.SetPackedData(pac._buf[pac._off:pac._off + n])
+                pac._off += n
+                y = obs.decode_block_bs(pb, pac.cfg)
+                outs.append(tails[ch] + y[:h])
+                tails[ch] = y[h:]
+            if first:
+                first = False
+                continue
+            chunks.append(np.stack(outs, axis=1))
+    else:
+        chunks = []
+        while True:
+            out = pac.ReadDataBlock(cp)
+            if out is None:
+                break
+            chunks.append(np.stack(out, axis=1))
     x = np.concatenate(chunks, axis=0)[:cp.numSamples]
     return x, cp.sampleRate

@@ -19,6 +19,45 @@ from tac.oracle.bitpack import PackedBits
 from tac.oracle.codec import DecodeSingleChannel, EncodeSingleChannel
 
 
+def _write_fields(pb: PackedBits, ovs, alloc, scale, mant,
+                  cfg: CodecConfig, h: int) -> None:
+    """Raw field layout at block size h: ovs | allocs | sfs | mantissas."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    pb.WriteBits(int(ovs), s)
+    for b in range(bands.N_BANDS):
+        code = int(alloc[b]) - 1 if alloc[b] > 0 else 0
+        pb.WriteBits(code, a)
+    for b in range(bands.N_BANDS):
+        if alloc[b] > 0:
+            pb.WriteBits(int(scale[b]), s)
+    for b in range(bands.N_BANDS):
+        for m in mant[b]:
+            pb.WriteBits(int(m), int(alloc[b]))
+
+
+def _read_fields(pb: PackedBits, cfg: CodecConfig, h: int):
+    """Inverse of _write_fields → (ovs, alloc, scale, mant-per-band)."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    ovs = pb.ReadBits(s)
+    alloc = np.zeros(bands.N_BANDS, np.int64)
+    for b in range(bands.N_BANDS):
+        c = pb.ReadBits(a)
+        alloc[b] = c + 1 if c > 0 else 0
+    scale = np.zeros(bands.N_BANDS, np.int64)
+    for b in range(bands.N_BANDS):
+        if alloc[b] > 0:
+            scale[b] = pb.ReadBits(s)
+    mant = []
+    for b in range(bands.N_BANDS):
+        if alloc[b] > 0:
+            mant.append([pb.ReadBits(int(alloc[b]))
+                         for _ in range(int(n_lines[b]))])
+        else:
+            mant.append([])
+    return ovs, alloc, scale, mant
+
+
 def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig,
                    table_id: int | None = None) -> bytes:
     """One channel's payload per SPEC.md §7 (table_id set in huffman mode)."""
@@ -146,8 +185,10 @@ class PACFile(AudioFile):
             n_scale_bits=cfg.n_scale_bits,
             n_mant_size_bits=cfg.n_mant_size_bits,
             n_lines_long=bands.lines_per_band(cp.sampleRate, h),
-            n_lines_short=None, huffman=cfg.use_huffman,
-            blockswitch=cfg.use_block_switch)
+            n_lines_short=(bands.lines_per_band(cp.sampleRate,
+                                                cfg.n_mdct_lines_short)
+                           if cfg.use_block_switch else None),
+            huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
         self.fp.write(bs.write_header(hdr))
         self._prior = [np.zeros(h) for _ in range(cp.nChannels)]
         self._res = [0] * cp.nChannels       # VBR bit reservoir (SPEC.md §8)

@@ -172,11 +172,16 @@ def masked_threshold(time_frame, c: PsyConsts):
     return thr_i + c.quiet_i
 
 
-def calc_smrs(time_frame, mdct_lines, c: PsyConsts):
+def calc_smrs(time_frame, mdct_lines, c: PsyConsts, mdct_gain=None):
     """SMR per scale-factor band. time_frame: [N], mdct_lines: [H] (pre-
-    rescale). Returns [N_BANDS] f32/f64; empty bands get a large negative."""
+    rescale). Returns [N_BANDS] f32/f64; empty bands get a large negative.
+
+    mdct_gain overrides the window-power gain 8/mean(w^2) (needed by the
+    block-switch start/stop windows whose power differs from the long
+    window; may be a traced scalar selected per window state)."""
     thr_spl = spl_from_intensity(masked_threshold(time_frame, c))
-    line_spl = spl_from_intensity(c.mdct_gain * mdct_lines.astype(thr_spl.dtype) ** 2)
+    gain = c.mdct_gain if mdct_gain is None else mdct_gain
+    line_spl = spl_from_intensity(gain * mdct_lines.astype(thr_spl.dtype) ** 2)
     smr_line = line_spl - thr_spl
     nb = bands.N_BANDS
     smr = jops.segment_max(smr_line, c.band_of_line, num_segments=nb)

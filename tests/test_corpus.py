@@ -1,0 +1,82 @@
+"""Corpus driver tests: batched == solo bytes, resume, quarantine
+(SURVEY.md §5.3–§5.5; BASELINE config 4)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from tac import api
+from tac.config import PRESETS
+from tac.corpus import CorpusTranscoder
+from tac.io.wav import write_wav
+
+CFG = PRESETS["corpus"].replace(sample_rate=16000, n_channels=1,
+                                n_mdct_lines=256, bitrate_bps=64000)
+
+
+@pytest.fixture()
+def corpus_dir(tmp_path):
+    fs = 16000
+    rng = np.random.default_rng(5)
+    paths = []
+    for i, t_len in enumerate((4000, 7000, 12000, 12500)):
+        t = np.arange(t_len) / fs
+        x = 0.4 * np.sin(2 * np.pi * (200 + 60 * i) * t) \
+            + 0.01 * rng.standard_normal(t_len)
+        p = tmp_path / f"clip{i}.wav"
+        write_wav(str(p), x, fs)
+        paths.append(str(p))
+    return tmp_path, paths
+
+
+def test_batched_bytes_equal_solo(corpus_dir):
+    tmp_path, paths = corpus_dir
+    out = tmp_path / "out"
+    tc = CorpusTranscoder(CFG, str(out), batch_size=4)
+    stats = tc.run(paths, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    for p in paths:
+        from tac.io.wav import read_wav
+        x, fs = read_wav(p)
+        solo = api.encode_array(x, CFG)
+        name = os.path.splitext(os.path.basename(p))[0] + ".pac"
+        batched = (out / name).read_bytes()
+        assert batched == solo, p
+
+
+def test_resume_skips_done(corpus_dir):
+    tmp_path, paths = corpus_dir
+    out = tmp_path / "out2"
+    tc = CorpusTranscoder(CFG, str(out), batch_size=2)
+    tc.run(paths[:2], log=lambda *a: None)
+    stats = tc.run(paths, log=lambda *a: None)      # resume over full list
+    assert stats["ok"] == 4
+    lines = [json.loads(l) for l in
+             open(out / "manifest.jsonl").read().splitlines()]
+    assert sum(1 for r in lines if r["status"] == "ok") == 4  # no re-encode
+
+
+def test_bad_clip_quarantined(corpus_dir, tmp_path):
+    _, paths = corpus_dir
+    bad = tmp_path / "bad.wav"
+    bad.write_bytes(b"not a wav file at all")
+    out = tmp_path / "out3"
+    tc = CorpusTranscoder(CFG, str(out), batch_size=4)
+    stats = tc.run([str(bad)] + paths[:1], log=lambda *a: None)
+    assert stats["ok"] == 1 and stats["failed"] == 1
+    recs = {json.loads(l)["clip"]: json.loads(l)["status"]
+            for l in open(out / "manifest.jsonl").read().splitlines()}
+    assert recs[str(bad)] == "read_error"
+
+
+def test_decoded_output_valid(corpus_dir):
+    tmp_path, paths = corpus_dir
+    out = tmp_path / "out4"
+    CorpusTranscoder(CFG, str(out), batch_size=4).run(
+        paths, log=lambda *a: None)
+    from tac.io.wav import read_wav
+    x, fs = read_wav(paths[0])
+    y, fs2 = api.decode_array((out / "clip0.pac").read_bytes())
+    assert fs2 == CFG.sample_rate and y.shape[0] == x.shape[0]

@@ -1,0 +1,74 @@
+"""Streaming encoder tests: offline-equivalence, chunking invariance,
+checkpoint/resume (SURVEY.md §5.4)."""
+
+import numpy as np
+import pytest
+
+from tac import api
+from tac.config import PRESETS
+from tac.streaming import StreamEncoder, StreamState
+
+
+@pytest.fixture(scope="module")
+def clip():
+    fs = 44100
+    t = np.arange(fs // 2) / fs
+    x = 0.3 * np.sin(2 * np.pi * 440 * t)
+    x[len(t) // 2:len(t) // 2 + 500] += 0.5 * np.exp(
+        -np.arange(500) / 80.0) * np.sin(2 * np.pi * 2800 * np.arange(500) / fs)
+    return x, fs
+
+
+@pytest.mark.parametrize("preset", ["streaming-ll", "stereo44-128"])
+def test_stream_equals_offline(preset, clip):
+    x, fs = clip
+    cfg = PRESETS[preset].replace(precision="parity", n_channels=1,
+                                  sample_rate=fs)
+    offline = api.encode_array(x, cfg)
+    enc = StreamEncoder(cfg, n_channels=1)
+    stream = enc.header(len(x)) + enc.push(x) + enc.flush()
+    assert stream == offline
+
+
+def test_chunk_size_invariance(clip):
+    x, fs = clip
+    cfg = PRESETS["streaming-ll"].replace(precision="parity", n_channels=1,
+                                          sample_rate=fs)
+    enc = StreamEncoder(cfg, n_channels=1)
+    out = [enc.header(len(x))]
+    rng = np.random.default_rng(0)
+    i = 0
+    while i < len(x):
+        n = int(rng.integers(1, 700))
+        out.append(enc.push(x[i:i + n]))
+        i += n
+    out.append(enc.flush())
+    assert b"".join(out) == api.encode_array(x, cfg)
+
+
+def test_checkpoint_resume(clip):
+    """Serialize StreamState mid-stream; resuming must be bit-exact."""
+    x, fs = clip
+    cfg = PRESETS["streaming-ll"].replace(precision="parity", n_channels=1,
+                                          sample_rate=fs)
+    cut = len(x) // 2 + 123
+    enc = StreamEncoder(cfg, n_channels=1)
+    part1 = enc.header(len(x)) + enc.push(x[:cut])
+    blob = enc.state.to_bytes()
+
+    enc2 = StreamEncoder(cfg, n_channels=1)
+    enc2.state = StreamState.from_bytes(blob)
+    part2 = enc2.push(x[cut:]) + enc2.flush()
+    assert part1 + part2 == api.encode_array(x, cfg)
+
+
+def test_stream_decodable(clip):
+    x, fs = clip
+    cfg = PRESETS["streaming-ll"].replace(precision="parity", n_channels=1,
+                                          sample_rate=fs)
+    enc = StreamEncoder(cfg, n_channels=1)
+    data = enc.header(len(x)) + enc.push(x) + enc.flush()
+    y, fs2 = api.decode_array(data)
+    assert fs2 == fs
+    err = x - y[: len(x), 0]
+    assert 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2)) > 12
