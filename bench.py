@@ -43,23 +43,34 @@ def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
 
     fs = cfg.sample_rate
     b, c, t = x.shape
-    xd = jax.device_put(x)
+    # per-clip upload: the remote-TPU tunnel here is unreliable for large
+    # single transfers, so stage the batch as B separate ~5 MB uploads
+    import jax.numpy as jnp
+    xd = jnp.stack([jax.device_put(x[i]) for i in range(b)])
 
     def run():
         words, nbits = parallel.encode_batch_packed(xd, cfg)
         jax.block_until_ready((words, nbits))
-        w_np, n_np = np.asarray(words), np.asarray(nbits)
-        return [dbp.rows_to_stream(w_np[i].swapaxes(0, 1),
-                                   n_np[i].swapaxes(0, 1))
-                for i in range(b)]
+        out = []
+        for i in range(b):                       # chunked downloads
+            w_np, n_np = np.asarray(words[i]), np.asarray(nbits[i])
+            out.append(dbp.rows_to_stream(w_np.swapaxes(0, 1),
+                                          n_np.swapaxes(0, 1)))
+        return out
 
     run()                                           # compile + warm caches
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        blobs = run()
-    dt = (time.perf_counter() - t0) / iters
-    assert sum(len(bl) for bl in blobs) > 0
-    return b * (t / fs) / dt
+    for attempt in range(3):                        # tunnel-flake tolerance
+        try:
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                blobs = run()
+            dt = (time.perf_counter() - t0) / iters
+            assert sum(len(bl) for bl in blobs) > 0
+            return b * (t / fs) / dt
+        except Exception:
+            if attempt == 2:
+                raise
+            time.sleep(2.0)
 
 
 def bench_oracle(seconds: float = 2.0) -> float:
@@ -77,10 +88,16 @@ def bench_oracle(seconds: float = 2.0) -> float:
 
 
 def main() -> None:
+    import os
+
     from tac.config import PRESETS
 
     cfg = PRESETS["stereo44-128"]                   # precision="fast"
-    x = make_clips(b=8, seconds=30.0, fs=cfg.sample_rate)
+    # sized so the host->device upload stays ~20 MB (the remote-TPU tunnel
+    # in this box is unreliable for single transfers much larger than that)
+    b = int(os.environ.get("TAC_BENCH_CLIPS", "2"))
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", "10"))
+    x = make_clips(b=b, seconds=secs, fs=cfg.sample_rate)
     tac_tput = bench_tac(x, cfg)
     oracle_tput = bench_oracle()
     print(json.dumps({

@@ -1,0 +1,99 @@
+// tacbits: host-side bitstream hot loops for the tac codec.
+//
+// The TPU encode path packs bits on device (tac/ops/bitpack.py); what
+// remains host-side and serial is the DECODE of variable-length payloads
+// (field walks whose offsets depend on prior fields, and canonical Huffman
+// code walks). These are the loops the reference runs in interpreted
+// Python bit-by-bit (SURVEY.md §3.2 hot loop); here they are C++ behind a
+// ctypes interface (tac/native.py) with a pure-NumPy fallback.
+//
+// Bit order: MSB-first within the byte stream (SPEC.md §7).
+
+#include <cstdint>
+#include <cstring>
+
+namespace {
+
+struct BitReader {
+    const uint8_t* data;
+    int64_t pos;  // absolute bit index
+
+    inline uint64_t read(int width) {
+        uint64_t v = 0;
+        for (int i = 0; i < width; ++i) {
+            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1u);
+            ++pos;
+        }
+        return v;
+    }
+};
+
+}  // namespace
+
+extern "C" {
+
+// Sequential variable-width field reads starting at bit_offset.
+void tac_unpack_fields(const uint8_t* data, int64_t bit_offset,
+                       const int32_t* widths, int64_t n, int64_t* out) {
+    BitReader br{data, bit_offset};
+    for (int64_t i = 0; i < n; ++i) out[i] = (int64_t)br.read(widths[i]);
+}
+
+// Decode one block's mantissa run: per line a canonical-Huffman symbol
+// (peek-LUT) or a raw field.  For line i with m = m_per_line[i]:
+//   m == 0        -> skip (mant 0)
+//   m < 2 || m > 8 -> raw m bits
+//   else          -> LUT walk on table (m - 2); escape emits raw m bits.
+// Tables are concatenated peek LUTs: for size m the LUT has (1 << L[m-2])
+// entries of (symbol, length) int32 pairs; lut_off gives the entry offset.
+// Returns the end bit position.
+int64_t tac_huffman_decode_lines(
+    const uint8_t* data, int64_t start_bit, int64_t total_bits,
+    const int32_t* m_per_line, int64_t h,
+    const int32_t* lut_sym, const int32_t* lut_len,
+    const int64_t* lut_off, const int32_t* lut_bits,
+    const int32_t* escape_sym, int64_t* out) {
+    BitReader br{data, start_bit};
+    for (int64_t i = 0; i < h; ++i) {
+        int m = m_per_line[i];
+        if (m == 0) { out[i] = 0; continue; }
+        if (m < 2 || m > 8) { out[i] = (int64_t)br.read(m); continue; }
+        int t = m - 2;
+        int L = lut_bits[t];
+        // peek L bits without consuming (zero-pad past the end)
+        uint64_t peek = 0;
+        int64_t p = br.pos;
+        for (int j = 0; j < L; ++j) {
+            uint64_t bit = (p < total_bits)
+                ? ((data[p >> 3] >> (7 - (p & 7))) & 1u) : 0u;
+            peek = (peek << 1) | bit;
+            ++p;
+        }
+        int32_t sym = lut_sym[lut_off[t] + peek];
+        br.pos += lut_len[lut_off[t] + peek];
+        if (sym == escape_sym[t]) {
+            out[i] = (int64_t)br.read(m);
+        } else {
+            out[i] = sym;
+        }
+    }
+    return br.pos;
+}
+
+// MSB-first field packing (host fallback mirror of the device packer).
+// Returns total bits written.  out must be zeroed, sized >= ceil(sum/8).
+int64_t tac_pack_fields(const int64_t* vals, const int32_t* widths,
+                        int64_t n, uint8_t* out) {
+    int64_t pos = 0;
+    for (int64_t i = 0; i < n; ++i) {
+        int w = widths[i];
+        uint64_t v = (uint64_t)vals[i];
+        for (int b = w - 1; b >= 0; --b) {
+            if ((v >> b) & 1u) out[pos >> 3] |= (uint8_t)(0x80u >> (pos & 7));
+            ++pos;
+        }
+    }
+    return pos;
+}
+
+}  // extern "C"

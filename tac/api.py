@@ -188,8 +188,12 @@ def payload_to_frames_vbr(data: bytes, offset: int, n_blocks: int,
         mo = mant_start[raw_rows, None] + (me - m_line[raw_rows])
         mant[raw_rows] = bs.unpack_at(
             bits, mo.ravel(), m_line[raw_rows].ravel()).reshape(-1, h)
-    for i in np.nonzero(tid == 1)[0]:
-        mant[i], _ = hf.decode_lines(bits, int(mant_start[i]), m_line[i])
+    if np.any(tid == 1):
+        from tac import native
+        raw = np.frombuffer(data, np.uint8)
+        for i in np.nonzero(tid == 1)[0]:
+            mant[i], _ = native.huffman_decode_lines(raw, int(mant_start[i]),
+                                                     m_line[i])
 
     def to_cf(x):
         return jnp.asarray(np.ascontiguousarray(

@@ -64,6 +64,8 @@ def main(argv=None) -> int:
     pe.add_argument("input"); pe.add_argument("output")
     _add_config_flags(pe)
     pe.add_argument("-v", "--verbose", action="store_true")
+    pe.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace (Perfetto) to DIR")
 
     pd = sub.add_parser("decode", help="PAC-T → WAV")
     pd.add_argument("input"); pd.add_argument("output")
@@ -87,7 +89,12 @@ def main(argv=None) -> int:
         x, fs = read_wav(args.input)
         cfg = _build_config(args, fs=fs, n_ch=x.shape[1])
         t0 = time.time()
-        stats = api.encode(args.input, args.output, cfg)
+        if getattr(args, "profile", None):
+            import jax
+            with jax.profiler.trace(args.profile):
+                stats = api.encode(args.input, args.output, cfg)
+        else:
+            stats = api.encode(args.input, args.output, cfg)
         stats["encode_s"] = round(time.time() - t0, 3)
         print(json.dumps(stats))
         return 0

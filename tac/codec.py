@@ -99,13 +99,15 @@ def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
     budget (used by the VBR bit-reservoir scan, SPEC.md §8).
     """
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    if cfg.precision == "parity":
-        lines = fb.mdct_fft(frame * c.window, c.window.shape[0] // 2)
-    else:
-        lines = jnp.dot(frame, c.fwd_basis,
-                        preferred_element_type=c.fwd_basis.dtype)
+    with jax.named_scope("tac.mdct"):
+        if cfg.precision == "parity":
+            lines = fb.mdct_fft(frame * c.window, c.window.shape[0] // 2)
+        else:
+            lines = jnp.dot(frame, c.fwd_basis,
+                            preferred_element_type=c.fwd_basis.dtype)
 
-    smr = _smr_input(frame, lines, cfg, c)
+    with jax.named_scope("tac.psy"):
+        smr = _smr_input(frame, lines, cfg, c)
     return quantize_lines(lines, smr, cfg, c, budget)
 
 
@@ -119,9 +121,10 @@ def quantize_lines(lines, smr, cfg: CodecConfig, c: CodecConsts,
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     nb = c.n_lines.shape[0]
     ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
-    alloc = ba.allocate(smr, c.n_lines,
-                        c.budget if budget is None else budget,
-                        cfg.alloc_mode, cfg.max_mant_bits)
+    with jax.named_scope("tac.bitalloc"):
+        alloc = ba.allocate(smr, c.n_lines,
+                            c.budget if budget is None else budget,
+                            cfg.alloc_mode, cfg.max_mant_bits)
 
     # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))

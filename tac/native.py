@@ -1,0 +1,127 @@
+"""ctypes bridge to the native host bitstream library (native/tacbits.cpp).
+
+Loads `native/libtacbits.so`, building it with make on first use if a
+compiler is available; every entry point has a pure-NumPy/Python fallback,
+so the package works without a toolchain (SURVEY.md §2.9: the bitstream
+walk is the one justified native component — serial, bit-granular,
+host-side).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from functools import lru_cache
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                    "native")
+_SO = os.path.join(_DIR, "libtacbits.so")
+
+_i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+_i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+_i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+
+
+@lru_cache(maxsize=1)
+def _lib():
+    """Load (building if needed) the shared library; None on failure."""
+    if not os.path.exists(_SO):
+        try:
+            subprocess.run(["make", "-C", _DIR], capture_output=True,
+                           timeout=120, check=True)
+        except Exception:
+            return None
+    try:
+        lib = ctypes.CDLL(_SO)
+    except OSError:
+        return None
+    lib.tac_unpack_fields.argtypes = [_i8p, ctypes.c_int64, _i32p,
+                                      ctypes.c_int64, _i64p]
+    lib.tac_unpack_fields.restype = None
+    lib.tac_huffman_decode_lines.argtypes = [
+        _i8p, ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64,
+        _i32p, _i32p, _i64p, _i32p, _i32p, _i64p]
+    lib.tac_huffman_decode_lines.restype = ctypes.c_int64
+    lib.tac_pack_fields.argtypes = [_i64p, _i32p, ctypes.c_int64, _i8p]
+    lib.tac_pack_fields.restype = ctypes.c_int64
+    return lib
+
+
+def available() -> bool:
+    return _lib() is not None
+
+
+def unpack_fields(data: np.ndarray, bit_offset: int,
+                  widths: np.ndarray) -> np.ndarray:
+    """Sequential field reads from a byte buffer (native; None-safe)."""
+    lib = _lib()
+    widths = np.ascontiguousarray(widths, np.int32)
+    out = np.empty(len(widths), np.int64)
+    if lib is None:
+        from tac import bitstream as bs
+        return bs.unpack_fields(data, widths.astype(np.int64), bit_offset)
+    lib.tac_unpack_fields(np.ascontiguousarray(data, np.uint8),
+                          bit_offset, widths, len(widths), out)
+    return out
+
+
+@lru_cache(maxsize=1)
+def _huffman_luts_packed():
+    """Concatenate the per-m peek LUTs into flat arrays for the C call."""
+    from tac import huffman as hf
+
+    luts = hf._dec_luts()
+    syms, lens, offs, bits, escs = [], [], [], [], []
+    off = 0
+    for m in range(hf.MIN_M, hf.MAX_M + 1):
+        sym_lut, len_lut, L, esc = luts[m]
+        syms.append(sym_lut)
+        lens.append(len_lut)
+        offs.append(off)
+        bits.append(L)
+        escs.append(esc)
+        off += len(sym_lut)
+    return (np.ascontiguousarray(np.concatenate(syms), np.int32),
+            np.ascontiguousarray(np.concatenate(lens), np.int32),
+            np.ascontiguousarray(np.asarray(offs), np.int64),
+            np.ascontiguousarray(np.asarray(bits), np.int32),
+            np.ascontiguousarray(np.asarray(escs), np.int32))
+
+
+def huffman_decode_lines(data_bytes: np.ndarray, start_bit: int,
+                         m_per_line: np.ndarray) -> tuple[np.ndarray, int]:
+    """Native canonical-Huffman mantissa decode (SPEC.md §8).
+
+    data_bytes: uint8 byte buffer; returns (mant[h], end_bit).
+    """
+    lib = _lib()
+    if lib is None:
+        from tac import huffman as hf
+        bits = np.unpackbits(np.ascontiguousarray(data_bytes, np.uint8))
+        return hf.decode_lines(bits, start_bit, m_per_line)
+    sym, lens, offs, bits_, escs = _huffman_luts_packed()
+    m = np.ascontiguousarray(m_per_line, np.int32)
+    out = np.empty(len(m), np.int64)
+    data = np.ascontiguousarray(data_bytes, np.uint8)
+    end = lib.tac_huffman_decode_lines(data, start_bit, len(data) * 8,
+                                       m, len(m), sym, lens, offs, bits_,
+                                       escs, out)
+    return out, int(end)
+
+
+def pack_fields(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:
+    """Native MSB-first packer (host fallback path)."""
+    lib = _lib()
+    if lib is None:
+        from tac import bitstream as bs
+        return bs.pack_fields(vals.astype(np.uint64),
+                              widths.astype(np.int64))
+    vals = np.ascontiguousarray(vals, np.int64)
+    widths = np.ascontiguousarray(widths, np.int32)
+    total = int(widths.sum())
+    out = np.zeros(-(-total // 8), np.uint8)
+    lib.tac_pack_fields(vals, widths, len(vals), out)
+    return out
