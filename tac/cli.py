@@ -81,6 +81,13 @@ def main(argv=None) -> int:
                     help="WAV file (default: synthetic 30 s stereo)")
     _add_config_flags(pb)
 
+    pc = sub.add_parser("corpus", help="batch-transcode WAVs → PAC-T "
+                        "(manifest resume, per-clip quarantine)")
+    pc.add_argument("inputs", nargs="+", help="WAV files")
+    pc.add_argument("-o", "--out-dir", required=True)
+    pc.add_argument("--batch-size", type=int, default=8)
+    _add_config_flags(pc)
+
     args = ap.parse_args(argv)
 
     if args.cmd == "encode":
@@ -141,6 +148,14 @@ def main(argv=None) -> int:
         print(json.dumps({"audio_s": dur, "encode_s": round(dt, 4),
                           "throughput_x": round(dur / dt, 2),
                           "kbps": round(len(data) * 8 / dur / 1000, 1)}))
+        return 0
+
+    if args.cmd == "corpus":
+        from tac.corpus import CorpusTranscoder
+        cfg = _build_config(args)
+        tc = CorpusTranscoder(cfg, args.out_dir, batch_size=args.batch_size)
+        stats = tc.run(args.inputs)
+        print(json.dumps(stats))
         return 0
     return 1
 

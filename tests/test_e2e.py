@@ -72,6 +72,39 @@ def test_odd_length_and_mono(tmp_path):
             assert _snr(x, y[:, 0]) > 10
 
 
+def test_encode_deterministic():
+    """Same input twice → identical bytes (doubles as a host-pipeline race
+    detector, SURVEY.md §5.2)."""
+    fs = 16000
+    rng = np.random.default_rng(11)
+    x = 0.3 * rng.standard_normal(8000)
+    cfg = PRESETS["mono16-64"]
+    assert api.encode_array(x, cfg) == api.encode_array(x, cfg)
+    vcfg = PRESETS["vbr-huffman"].replace(sample_rate=fs, n_channels=1,
+                                          n_mdct_lines=512)
+    assert api.encode_array(x, vcfg) == api.encode_array(x, vcfg)
+
+
+def test_cli_corpus(tmp_path):
+    fs = 16000
+    paths = []
+    for i in range(2):
+        x = 0.4 * np.sin(2 * np.pi * (300 + 100 * i)
+                         * np.arange(6000) / fs)
+        p = tmp_path / f"c{i}.wav"
+        write_wav(str(p), x, fs)
+        paths.append(str(p))
+    env = {"JAX_PLATFORMS": "cpu", "PALLAS_AXON_POOL_IPS": "",
+           "PATH": "/usr/bin:/bin:/usr/local/bin"}
+    r = subprocess.run([sys.executable, "-m", "tac.cli", "corpus",
+                        *paths, "-o", str(tmp_path / "out"),
+                        "--bitrate", "64000", "--lines", "256"],
+                       capture_output=True, text=True, env=env)
+    assert r.returncode == 0, r.stderr
+    stats = json.loads(r.stdout.strip().splitlines()[-1])
+    assert stats["ok"] == 2
+
+
 def test_silence_and_fullscale(tmp_path):
     fs = 16000
     cfg = PRESETS["mono16-64"]
