@@ -88,7 +88,42 @@ def bench_oracle(seconds: float = 2.0) -> float:
 
 
 def main() -> None:
+    """Parent: run the real bench in a child process, retrying on the
+    remote-TPU tunnel's sporadic UNAVAILABLE faults (a faulted PJRT client
+    never recovers in-process, so retries need a fresh interpreter)."""
     import os
+    import subprocess
+    import sys
+
+    if os.environ.get("TAC_BENCH_CHILD"):
+        return _bench_main()
+    last = ""
+    for attempt in range(3):
+        env = dict(os.environ, TAC_BENCH_CHILD="1")
+        r = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                           capture_output=True, text=True, env=env,
+                           timeout=None)
+        for line in reversed(r.stdout.strip().splitlines()):
+            if line.startswith("{"):
+                print(line)
+                return
+        last = (r.stderr or "")[-2000:]
+    print(json.dumps({"metric": "encode_throughput_44k_stereo",
+                      "value": 0.0, "unit": "audio_sec_per_sec_per_chip",
+                      "vs_baseline": 0.0, "error": last[-300:]}))
+
+
+def _bench_main() -> None:
+    import os
+
+    import jax
+
+    # persistent compile cache: retries and re-runs skip the slow remote
+    # compile entirely
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from tac.config import PRESETS
 

@@ -13,9 +13,20 @@ Public API:
     encode_array(audio, config) -> bytes decode_array(bytes) -> (audio, fs)
 """
 
+import os as _os
+
 from tac.config import CodecConfig, PRESETS  # noqa: F401
 
 __version__ = "0.1.0"
+
+if _os.environ.get("TAC_COMPILE_CACHE"):
+    # persistent XLA compile cache (huge win when device compiles are
+    # remote/slow; harmless otherwise)
+    import jax as _jax
+
+    _jax.config.update("jax_compilation_cache_dir",
+                       _os.environ["TAC_COMPILE_CACHE"])
+    _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 _API = ("encode", "decode", "encode_array", "decode_array")
 

@@ -207,7 +207,16 @@ def payload_to_frames_vbr(data: bytes, offset: int, n_blocks: int,
 # ------------------------------------------------------------ public api ----
 
 def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
-    """x: float[T] or [T, C] in [-1, 1) → PAC-T bytes."""
+    """x: float[T] or [T, C] in [-1, 1) → PAC-T bytes.
+
+    Set env TAC_DEBUG_NANS=1 to run the device pipeline under
+    jax_debug_nans (SURVEY.md §5.2) — NaNs in any kernel raise immediately
+    instead of silently corrupting the stream.
+    """
+    import os
+    if os.environ.get("TAC_DEBUG_NANS"):
+        import jax
+        jax.config.update("jax_debug_nans", True)
     x = np.asarray(x, np.float64)
     if x.ndim == 1:
         x = x[:, None]

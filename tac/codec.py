@@ -155,6 +155,30 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
                    preferred_element_type=c.inv_basis.dtype)
 
 
+# --------------------------------------------------------- chunked encode ---
+
+# Max frame-rows per compiled program instance. The v5e-via-tunnel backend
+# in this box faults (UNAVAILABLE) on the fused psy+alloc graph above
+# ~1.7k rows; 512 is comfortably parallel and known-good. lax.map also
+# keeps memory bounded for arbitrarily long clips/batches (SURVEY.md §5.7).
+ENC_CHUNK = 512
+
+
+def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
+    """frames_flat: [R, N] → FrameCode with [R, ...] leaves, computed in
+    lax.map chunks of ENC_CHUNK rows."""
+    r = frames_flat.shape[0]
+    if r <= ENC_CHUNK:
+        return jax.vmap(lambda fr: encode_frame(fr, cfg, c))(frames_flat)
+    pad = (-r) % ENC_CHUNK
+    fp = jnp.pad(frames_flat, ((0, pad), (0, 0)))
+    chunks = fp.reshape(-1, ENC_CHUNK, fp.shape[-1])
+    out = jax.lax.map(
+        lambda fc: jax.vmap(lambda fr: encode_frame(fr, cfg, c))(fc), chunks)
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
+
+
 # ------------------------------------------------- device-packed payloads ---
 
 def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
@@ -183,17 +207,29 @@ def payload_capacity_bits(cfg: CodecConfig, c: CodecConsts) -> int:
     return head + budget_max + 32
 
 
-@partial(jax.jit, static_argnums=(1,))
 def _encode_clip_packed_impl(x, cfg: CodecConfig):
     """Encode + bit-pack entirely on device: only payload words + bit counts
     cross the device→host link (SURVEY.md §3.5 boundary minimization)."""
+    return _encode_packed_leading(x, cfg)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_packed_leading(x, cfg: CodecConfig):
+    """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
+
+    All leading axes (batch, channels, frames) flatten into one row axis
+    so ENC_CHUNK bounds the per-program size regardless of batch shape.
+    """
     from tac.ops.bitpack import pack_rows
 
     c = make_consts(cfg)
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
-    code = jax.vmap(jax.vmap(lambda fr: encode_frame(fr, cfg, c)))(frames)
+    lead = frames.shape[:-1]                   # [..., C, F]
+    code = _encode_rows(frames.reshape(-1, frames.shape[-1]), cfg, c)
     vals, wids = payload_fields(code, cfg, c)
-    return pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    return (words.reshape(*lead, words.shape[-1]),
+            nbits.reshape(lead))
 
 
 def encode_clip_packed(x, cfg: CodecConfig):
@@ -261,8 +297,10 @@ def encode_clip_vbr(x, cfg: CodecConfig) -> VbrCode:
 def _encode_clip_impl(x, cfg: CodecConfig):
     c = make_consts(cfg)
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
-    f = jax.vmap(jax.vmap(lambda fr: encode_frame(fr, cfg, c)))
-    return f(frames)
+    ch, f = frames.shape[0], frames.shape[1]
+    code = _encode_rows(frames.reshape(ch * f, -1), cfg, c)
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(ch, f, *l.shape[1:]), code)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -36,6 +36,25 @@ from tac.config import CodecConfig
 from tac.dsp import mdct as fb
 
 
+def init_distributed(coordinator: Optional[str] = None,
+                     num_processes: Optional[int] = None,
+                     process_id: Optional[int] = None) -> int:
+    """Multi-host bring-up (SURVEY.md §5.8): `jax.distributed.initialize`
+    from explicit args or the standard env (TPU pods auto-detect). Safe to
+    call on a single host (no-op if no coordinator is configured).
+
+    Returns the global device count. After this, `make_mesh()` sees every
+    chip in the slice; XLA routes the clips/frames collectives over ICI
+    within a slice and DCN across slices.
+    """
+    if coordinator or num_processes or "COORDINATOR_ADDRESS" in \
+            __import__("os").environ:
+        jax.distributed.initialize(coordinator_address=coordinator,
+                                   num_processes=num_processes,
+                                   process_id=process_id)
+    return len(jax.devices())
+
+
 def make_mesh(n_clips: Optional[int] = None, n_frames: int = 1,
               devices=None) -> Mesh:
     """Mesh over ("clips", "frames"): DP outer, frame-axis SP inner.
@@ -58,7 +77,12 @@ def encode_batch(x, cfg: CodecConfig) -> FrameCode:
 
 @partial(jax.jit, static_argnums=(1,))
 def _encode_batch_jit(x, cfg: CodecConfig):
-    return jax.vmap(lambda xi: codec._encode_clip_impl(xi, cfg))(x)
+    c = codec.make_consts(cfg)
+    frames = codec.fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
+    lead = frames.shape[:-1]                  # [B, C, F]
+    code = codec._encode_rows(frames.reshape(-1, frames.shape[-1]), cfg, c)
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(*lead, *l.shape[1:]), code)
 
 
 def encode_batch_packed(x, cfg: CodecConfig):
@@ -67,9 +91,10 @@ def encode_batch_packed(x, cfg: CodecConfig):
     return _encode_batch_packed_jit(x, cfg)
 
 
-@partial(jax.jit, static_argnums=(1,))
 def _encode_batch_packed_jit(x, cfg: CodecConfig):
-    return jax.vmap(lambda xi: codec._encode_clip_packed_impl(xi, cfg))(x)
+    # one flat frame-row axis across (batch, channels, frames): ENC_CHUNK
+    # bounds the per-program size regardless of batch shape
+    return codec._encode_packed_leading(x, cfg)
 
 
 def encode_batch_sharded(x, cfg: CodecConfig, mesh: Mesh) -> FrameCode:
