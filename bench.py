@@ -48,9 +48,7 @@ def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
     import jax.numpy as jnp
     xd = jnp.stack([jax.device_put(x[i]) for i in range(b)])
 
-    def run():
-        words, nbits = parallel.encode_batch_packed(xd, cfg)
-        jax.block_until_ready((words, nbits))
+    def drain(words, nbits):
         out = []
         for i in range(b):                       # chunked downloads
             w_np, n_np = np.asarray(words[i]), np.asarray(nbits[i])
@@ -58,12 +56,15 @@ def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
                                           n_np.swapaxes(0, 1)))
         return out
 
-    run()                                           # compile + warm caches
+    drain(*parallel.encode_batch_packed(xd, cfg))   # compile + warm caches
     for attempt in range(3):                        # tunnel-flake tolerance
         try:
+            # NOTE: measured serial > software-pipelined here — the remote
+            # tunnel serializes execute and transfer, so overlapping them
+            # just adds contention (46.9 vs 102.9 audio-sec/s).
             t0 = time.perf_counter()
             for _ in range(iters):
-                blobs = run()
+                blobs = drain(*parallel.encode_batch_packed(xd, cfg))
             dt = (time.perf_counter() - t0) / iters
             assert sum(len(bl) for bl in blobs) > 0
             return b * (t / fs) / dt
@@ -130,8 +131,8 @@ def _bench_main() -> None:
     cfg = PRESETS["stereo44-128"]                   # precision="fast"
     # sized so the host->device upload stays ~20 MB (the remote-TPU tunnel
     # in this box is unreliable for single transfers much larger than that)
-    b = int(os.environ.get("TAC_BENCH_CLIPS", "2"))
-    secs = float(os.environ.get("TAC_BENCH_SECONDS", "10"))
+    b = int(os.environ.get("TAC_BENCH_CLIPS", "8"))
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", "15"))
     x = make_clips(b=b, seconds=secs, fs=cfg.sample_rate)
     tac_tput = bench_tac(x, cfg)
     oracle_tput = bench_oracle()

@@ -228,6 +228,25 @@ def capacity_bits_bs(cfg: CodecConfig, c: BsConsts) -> int:
     return 2 + s + bands.N_BANDS * (a + s) + c.cl.budget + 32
 
 
+def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
+                    c: BsConsts) -> BsFrameCode:
+    """[R, N] frames + [R] states → BsFrameCode [R, ...] in lax.map chunks
+    of codec.ENC_CHUNK rows (same program-size bound as the long path)."""
+    chunk = codec_mod.ENC_CHUNK
+    r = frames_flat.shape[0]
+    enc = jax.vmap(lambda fr, st: encode_frame_bs(fr, st, cfg, c))
+    if r <= chunk:
+        return enc(frames_flat, states_flat)
+    pad = (-r) % chunk
+    fp = jnp.pad(frames_flat, ((0, pad), (0, 0)))
+    sp = jnp.pad(states_flat, ((0, pad),))
+    out = jax.lax.map(lambda args: enc(*args),
+                      (fp.reshape(-1, chunk, fp.shape[-1]),
+                       sp.reshape(-1, chunk)))
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):
     from tac.ops.bitpack import pack_rows
@@ -236,10 +255,12 @@ def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):
     h = cfg.n_mdct_lines
     xt = x.astype(c.cl.dtype)
     frames = fb.frame_signal(xt, h)
-    f = frames.shape[-2]
+    ch, f = frames.shape[0], frames.shape[1]
     states = window_states(transient_flags(xt, cfg), f)
-    bc = jax.vmap(jax.vmap(
-        lambda fr, st: encode_frame_bs(fr, st, cfg, c)))(frames, states)
+    bc = _encode_rows_bs(frames.reshape(ch * f, -1),
+                         states.reshape(ch * f), cfg, c)
+    bc = jax.tree_util.tree_map(
+        lambda l: l.reshape(ch, f, *l.shape[1:]), bc)
     vals, wids = payload_fields_bs(bc, cfg, c)
     return pack_rows(vals, wids, capacity_bits_bs(cfg, c))
 

@@ -67,6 +67,11 @@ class CodecConfig:
         if self.use_block_switch:
             if self.n_mdct_lines % self.n_mdct_lines_short:
                 raise ValueError("short lines must divide long lines")
+            if self.use_huffman:
+                # v1 freeze: the VBR reservoir scan and the block-switch
+                # state machine are separate encode paths (SPEC.md §7/§9)
+                raise ValueError("use_huffman with use_block_switch is "
+                                 "not supported in v1")
 
     # ---- derived (all python ints: static under jit) ----
 

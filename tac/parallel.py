@@ -119,11 +119,15 @@ def _framecode_struct():
 
 
 def _encode_clip_inline(x, cfg: CodecConfig) -> FrameCode:
-    """encode_clip body without its own jit wrapper (shard_map-inlineable)."""
+    """encode_clip body without its own jit wrapper (shard_map-inlineable).
+    Chunked like the single-device path so per-device row counts stay
+    bounded on real slices."""
     c = codec.make_consts(cfg)
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
-    f = jax.vmap(jax.vmap(lambda fr: codec.encode_frame(fr, cfg, c)))
-    return f(frames)
+    ch, f = frames.shape[0], frames.shape[1]
+    code = codec._encode_rows(frames.reshape(ch * f, -1), cfg, c)
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(ch, f, *l.shape[1:]), code)
 
 
 # ------------------------------------------------- decode (DP + SP halo) ----
