@@ -62,7 +62,8 @@ def pack_rows(vals, wids, cap_bits: int):
 def rows_to_bytes(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
     """Host finalization: big-endian byte view, trimmed to ceil(nbits/8)."""
     words = np.asarray(words)
-    flat = words.reshape(-1, words.shape[-1]).astype(">u4").view(np.uint8)
+    flat = words.reshape(-1, words.shape[-1]).astype(">u4", order="C") \
+        .view(np.uint8)
     nbytes = -(-np.asarray(nbits).reshape(-1) // 8)
     return [flat[i, : nbytes[i]].tobytes() for i in range(flat.shape[0])]
 
@@ -73,7 +74,8 @@ def rows_to_stream(words: np.ndarray, nbits: np.ndarray) -> bytes:
     Python loop on the hot path)."""
     words = np.asarray(words)
     k = int(np.prod(words.shape[:-1]))
-    flat = words.reshape(k, words.shape[-1]).astype(">u4").view(np.uint8)
+    flat = words.reshape(k, words.shape[-1]).astype(">u4", order="C") \
+        .view(np.uint8)
     nbytes = (-(-np.asarray(nbits).reshape(k) // 8)).astype(np.int64)
     total = int(nbytes.sum()) + 2 * k
     out = np.empty(total, np.uint8)
