@@ -73,7 +73,7 @@ class CorpusTranscoder:
 
     def __init__(self, cfg: CodecConfig, out_dir: str,
                  manifest: Optional[str] = None, batch_size: int = 8,
-                 retries: int = 1, io_threads: int = 4):
+                 retries: int = 1, io_threads: int = 4, mesh=None):
         self.cfg = cfg
         self.out_dir = out_dir
         self.manifest_path = manifest or os.path.join(out_dir,
@@ -81,6 +81,7 @@ class CorpusTranscoder:
         self.batch_size = batch_size
         self.retries = retries
         self.io_threads = io_threads
+        self.mesh = mesh          # multi-chip: shard clips over this mesh
         os.makedirs(out_dir, exist_ok=True)
 
     # ------------------------------------------------------------ encode ---
@@ -100,11 +101,18 @@ class CorpusTranscoder:
         cfg = self.cfg
         h = cfg.n_mdct_lines
         tb = max(_bucket_len(c.shape[0], h) for c in clips)
-        batch = np.zeros((len(clips), clips[0].shape[1], tb), np.float32)
+        n = len(clips)
+        shards = self.mesh.shape["clips"] if self.mesh is not None else 1
+        b = -(-n // shards) * shards          # pad batch to shard multiple
+        batch = np.zeros((b, clips[0].shape[1], tb), np.float32)
         for i, c in enumerate(clips):
             batch[i, :, : c.shape[0]] = c.T
-        words, nbits = parallel.encode_batch_packed(
-            jax.device_put(batch), cfg)
+        if self.mesh is not None:
+            words, nbits = parallel.encode_batch_packed_sharded(
+                parallel.shard_clips(batch, self.mesh), cfg, self.mesh)
+        else:
+            words, nbits = parallel.encode_batch_packed(
+                jax.device_put(batch), cfg)
         w_np, n_np = np.asarray(words), np.asarray(nbits)
         out = []
         for i, c in enumerate(clips):

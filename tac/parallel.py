@@ -97,6 +97,19 @@ def _encode_batch_packed_jit(x, cfg: CodecConfig):
     return codec._encode_packed_leading(x, cfg)
 
 
+def encode_batch_packed_sharded(x, cfg: CodecConfig, mesh: Mesh):
+    """Corpus packed encode over the mesh clips axis: each device encodes
+    AND bit-packs its clip shard; only payload words leave the devices.
+    x: [B, C, T] with B divisible by the clips axis size."""
+
+    @partial(shard_map, mesh=mesh, in_specs=P("clips"),
+             out_specs=(P("clips"), P("clips")), check_vma=False)
+    def run(xs):
+        return codec._encode_packed_leading(xs, cfg)
+
+    return jax.jit(run)(x)
+
+
 def encode_batch_sharded(x, cfg: CodecConfig, mesh: Mesh) -> FrameCode:
     """Corpus encode over the mesh clips axis. x: [B, C, T], B divisible by
     the clips axis size. Pure DP: out leaves stay sharded on "clips"."""

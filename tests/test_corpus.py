@@ -71,6 +71,25 @@ def test_bad_clip_quarantined(corpus_dir, tmp_path):
     assert recs[str(bad)] == "read_error"
 
 
+def test_mesh_corpus_bytes_equal_solo(corpus_dir):
+    """Sharded (8-device clips mesh) corpus bytes == solo encodes."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tac import parallel
+    tmp_path, paths = corpus_dir
+    out = tmp_path / "out_mesh"
+    mesh = parallel.make_mesh(n_clips=8, n_frames=1)
+    tc = CorpusTranscoder(CFG, str(out), batch_size=4, mesh=mesh)
+    stats = tc.run(paths, log=lambda *a: None)
+    assert stats["ok"] == 4
+    from tac.io.wav import read_wav
+    for p in paths:
+        x, fs = read_wav(p)
+        name = os.path.splitext(os.path.basename(p))[0] + ".pac"
+        assert (out / name).read_bytes() == api.encode_array(x, CFG), p
+
+
 def test_decoded_output_valid(corpus_dir):
     tmp_path, paths = corpus_dir
     out = tmp_path / "out4"

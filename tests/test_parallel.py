@@ -59,6 +59,16 @@ def test_corpus_metrics_psum(batch):
     assert float(mean) > 5.0
 
 
+def test_sharded_packed_encode_matches_single(batch):
+    """Device-packed encode sharded over clips == single-device words."""
+    mesh = parallel.make_mesh(n_clips=8, n_frames=1)
+    w_s, n_s = parallel.encode_batch_packed_sharded(
+        parallel.shard_clips(batch, mesh), CFG, mesh)
+    w_1, n_1 = parallel.encode_batch_packed(batch, CFG)
+    np.testing.assert_array_equal(np.asarray(w_s), np.asarray(w_1))
+    np.testing.assert_array_equal(np.asarray(n_s), np.asarray(n_1))
+
+
 def test_sharded_roundtrip_bytes_match_api(batch):
     """Sharded encode → host serialize must equal the single-path bytes."""
     mesh = parallel.make_mesh(n_clips=8, n_frames=1)

@@ -19,7 +19,8 @@ def clip():
     return x, fs
 
 
-@pytest.mark.parametrize("preset", ["streaming-ll", "stereo44-128"])
+@pytest.mark.parametrize("preset", ["streaming-ll", "stereo44-128",
+                                    "vbr-huffman"])
 def test_stream_equals_offline(preset, clip):
     x, fs = clip
     cfg = PRESETS[preset].replace(precision="parity", n_channels=1,
