@@ -49,12 +49,12 @@ def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
     xd = jnp.stack([jax.device_put(x[i]) for i in range(b)])
 
     def drain(words, nbits):
-        out = []
-        for i in range(b):                       # chunked downloads
-            w_np, n_np = np.asarray(words[i]), np.asarray(nbits[i])
-            out.append(dbp.rows_to_stream(w_np.swapaxes(0, 1),
-                                          n_np.swapaxes(0, 1)))
-        return out
+        # one transfer each: per-clip downloads pay ~60 ms tunnel latency
+        # apiece (measured: 8x chunked = 0.6 s vs 0.14 s for one 2 MB pull)
+        w_np, n_np = np.asarray(words), np.asarray(nbits)
+        return [dbp.rows_to_stream(w_np[i].swapaxes(0, 1),
+                                   n_np[i].swapaxes(0, 1))
+                for i in range(b)]
 
     drain(*parallel.encode_batch_packed(xd, cfg))   # compile + warm caches
     for attempt in range(3):                        # tunnel-flake tolerance

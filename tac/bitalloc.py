@@ -63,8 +63,27 @@ def water_fill(smr_q, n_lines, budget: int, max_mant: int = MANT_MAX):
         any_grant = jnp.any(eligible)
         # grant path: argmax of need among eligible; ties -> lowest index
         b = jnp.argmax(jnp.where(eligible, need, neg))
-        g_alloc = alloc.at[b].add(1)
-        g_rem = remaining - n_lines[b]
+
+        # MULTI-GRANT: give b every bit it would win before any other band
+        # becomes the argmax. Provably identical to k single grants: the
+        # (j+1)-th consecutive grant goes to b iff its need after j grants,
+        # smr_q[b] - DEC[alloc[b]+j], still STRICTLY exceeds the best other
+        # eligible need (ties break to the lowest index next iteration, and
+        # the other-band eligible set can only shrink as `remaining` falls,
+        # so this k is a safe underestimate — never an overshoot).
+        others = jnp.where(eligible & (jnp.arange(nb) != b), need, neg)
+        need2 = jnp.max(others)
+        j = jnp.arange(MANT_MAX + 1, dtype=jnp.int32)
+        dec_bj = dec[jnp.clip(alloc[b] + j, 0, MANT_MAX)]
+        ahead = (smr_q[b] - dec_bj > need2) & (alloc[b] + j < max_mant)
+        k = jnp.sum(jnp.cumprod(ahead.astype(jnp.int32)),
+                    dtype=jnp.int32)                         # leading run
+        k = jnp.minimum(k, max_mant - alloc[b])
+        k = jnp.minimum(k, remaining // jnp.maximum(n_lines[b], 1))
+        k = jnp.maximum(k, 1).astype(jnp.int32)
+
+        g_alloc = alloc.at[b].add(k)
+        g_rem = remaining - k * n_lines[b]
 
         # freeze path: highest-index band with alloc == 1 (not frozen)
         lone = (alloc == 1) & (~frozen)

@@ -21,8 +21,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-_ONE = None  # placeholder to keep module flat
-
 
 def _i32(x):
     return jnp.asarray(x, jnp.int32)
