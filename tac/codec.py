@@ -158,10 +158,11 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 # --------------------------------------------------------- chunked encode ---
 
 # Max frame-rows per compiled program instance. The v5e-via-tunnel backend
-# in this box faults (UNAVAILABLE) on the fused psy+alloc graph above
-# ~1.7k rows; 512 is comfortably parallel and known-good. lax.map also
-# keeps memory bounded for arbitrarily long clips/batches (SURVEY.md §5.7).
-ENC_CHUNK = 512
+# in this box faults (UNAVAILABLE) on the fused psy+alloc graph at ~1.7k
+# rows per program; 1024 is measured-good (and 39% faster than 512 — less
+# chunk-scan overhead). lax.map also keeps memory bounded for arbitrarily
+# long clips/batches (SURVEY.md §5.7).
+ENC_CHUNK = 1024
 
 
 def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
