@@ -109,6 +109,34 @@ def test_states_switch_around_transient(transient_clip):
     assert st[runs.max() + 1] == bsw.STOP
 
 
+def test_all_transient_stream(rng):
+    """Dense transients → mostly SHORT frames; stream stays decodable and
+    byte-matches the oracle."""
+    fs = CFG.sample_rate
+    x = np.zeros(fs // 4)
+    for pos in range(0, len(x) - 600, 700):
+        x[pos:pos + 600] += np.exp(-np.arange(600) / 60.0) \
+            * np.sin(2 * np.pi * 3000 * np.arange(600) / fs)
+    d = api.encode_array(x, CFG)
+    assert d == o_enc(x, CFG)
+    y, _ = api.decode_array(d)
+    assert _snr(x, y[:, 0]) > 8
+    st = np.asarray(bsw.encode_clip_bs(jnp.asarray(x[None]), CFG).state)[0]
+    assert (st == bsw.SHORT).sum() > len(st) // 2
+
+
+def test_multichannel_roundtrip():
+    """The format supports arbitrary channel counts (u16 nChannels)."""
+    fs = 44100
+    x4 = np.stack([0.3 * np.sin(2 * np.pi * (200 + i * 150)
+                                * np.arange(20000) / fs)
+                   for i in range(4)], 1)
+    cfg = PRESETS["stereo44-128"].replace(n_channels=4)
+    y4, fs2 = api.decode_array(api.encode_array(x4, cfg))
+    assert fs2 == fs and y4.shape == x4.shape
+    assert _snr(x4[:, 0], y4[:, 0]) > 15
+
+
 def test_algorithmic_delay_under_20ms():
     """SPEC §9: delay = 2*H/fs (one half-block lookahead + one overlap)."""
     delay_s = 2 * CFG.n_mdct_lines / CFG.sample_rate
