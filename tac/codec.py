@@ -44,6 +44,7 @@ class CodecConsts(NamedTuple):
     n_lines: jnp.ndarray         # [N_BANDS] int32
     psy: Optional[psy_mod.PsyConsts]
     budget: int                  # python int: mantissa bits per block/channel
+    mdct_gain: float             # 8 / mean(window^2), host float (SPEC §5)
     dtype: jnp.dtype
 
 
@@ -67,6 +68,7 @@ def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
         n_lines=jnp.asarray(nl),
         psy=psy_mod.make_consts(cfg) if cfg.use_psy else None,
         budget=max(int(budget), 0),
+        mdct_gain=float(8.0 / np.mean(w ** 2)),
         dtype=dtype,
     )
 
@@ -84,8 +86,7 @@ def _smr_input(frame, lines, cfg: CodecConfig, c: CodecConsts):
     if cfg.use_psy and cfg.alloc_mode in ("greedy", "const_mnr"):
         return psy_mod.calc_smrs(frame, lines, c.psy)
     if cfg.alloc_mode == "const_snr":
-        gain = 8.0 / float(np.mean(np.asarray(c.window) ** 2))
-        spl = psy_mod.spl_from_intensity(gain * lines * lines)
+        spl = psy_mod.spl_from_intensity(c.mdct_gain * lines * lines)
         return jax.ops.segment_max(spl, c.band_of_line,
                                    num_segments=bands.N_BANDS)
     return jnp.zeros(bands.N_BANDS, c.dtype)  # uniform
