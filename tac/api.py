@@ -271,12 +271,20 @@ def decode_array(data: bytes, precision: str = "parity"
         from tac import blockswitch as bsw
         bc = bsw.payload_to_frames_bs(data, off, f, cfg)
         x = bsw.decode_clip_bs(bc, cfg, hdr.num_samples)
-    else:
-        if hdr.huffman:
-            code = payload_to_frames_vbr(data, off, f, cfg, h)
-        else:
-            code = payload_to_frames(data, off, f, cfg, h)
+    elif hdr.huffman:
+        code = payload_to_frames_vbr(data, off, f, cfg, h)
         x = codec.decode_clip(code, cfg, hdr.num_samples)  # [C, T]
+    else:
+        # raw fixed-rate stream: unpack ON DEVICE — upload only the payload
+        # words, decode end-to-end in one fused graph
+        from tac.ops import bitpack as dbp
+        c = cfg.n_channels
+        offs, lens = bs.split_blocks(data, off, f * c)
+        w32 = -(-codec.payload_capacity_bits(cfg) // 32)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)   # [F*C, W32]
+        words = jnp.asarray(np.ascontiguousarray(
+            rows.reshape(f, c, w32).swapaxes(0, 1)))       # [C, F, W32]
+        x = codec.decode_clip_packed(words, cfg, hdr.num_samples)
     return np.asarray(x).T.astype(np.float32), hdr.sample_rate
 
 

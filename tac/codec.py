@@ -48,18 +48,25 @@ class CodecConsts(NamedTuple):
     dtype: jnp.dtype
 
 
+def frame_budget(cfg: CodecConfig, h: Optional[int] = None) -> int:
+    """SPEC.md §6 per-(frame, channel) mantissa bit budget (2-bit tableId /
+    windowState side fields come out of the budget in huffman / blockswitch
+    modes). Pure host arithmetic — safe to call eagerly."""
+    h = cfg.n_mdct_lines if h is None else h
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    b = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
+        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0) \
+        - (2 if cfg.use_huffman else 0)
+    return max(int(b), 0)
+
+
 def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
     h = cfg.n_mdct_lines if h is None else h
     n = 2 * h
     dtype = jnp.float64 if cfg.precision == "parity" else jnp.float32
     w = window_fn(cfg.window, n, cfg.kbd_alpha)
     nl = bands.lines_per_band(cfg.sample_rate, h)
-    # SPEC.md §6 budget (2-bit tableId / windowState side fields come out
-    # of the mantissa budget in huffman / blockswitch modes)
-    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    budget = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
-        - s - bands.N_BANDS * (s + a) - (2 if cfg.use_block_switch else 0) \
-        - (2 if cfg.use_huffman else 0)
+    budget = frame_budget(cfg, h)
     return CodecConsts(
         window=jnp.asarray(w, dtype),
         fwd_basis=jnp.asarray(fb.mdct_basis(h, w, np.float64), dtype),
@@ -67,7 +74,7 @@ def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
         band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
         n_lines=jnp.asarray(nl),
         psy=psy_mod.make_consts(cfg) if cfg.use_psy else None,
-        budget=max(int(budget), 0),
+        budget=budget,
         mdct_gain=float(8.0 / np.mean(w ** 2)),
         dtype=dtype,
     )
@@ -200,12 +207,14 @@ def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
     return vals, wids
 
 
-def payload_capacity_bits(cfg: CodecConfig, c: CodecConsts) -> int:
+def payload_capacity_bits(cfg: CodecConfig,
+                          c: Optional[CodecConsts] = None) -> int:
     nb = bands.N_BANDS
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     head = s + nb * (a + s) + (2 if cfg.use_huffman else 0)
-    budget_max = c.budget * ((1 + cfg.reservoir_factor)
-                             if cfg.use_huffman else 1)
+    budget = c.budget if c is not None else frame_budget(cfg)
+    budget_max = budget * ((1 + cfg.reservoir_factor)
+                           if cfg.use_huffman else 1)
     return head + budget_max + 32
 
 
@@ -237,6 +246,52 @@ def _encode_packed_leading(x, cfg: CodecConfig):
 def encode_clip_packed(x, cfg: CodecConfig):
     """x: [C, T] → (words uint32[C, F, W32], nbits int32[C, F])."""
     return _encode_clip_packed_impl(x, cfg)
+
+
+# ------------------------------------------------- device-packed decode -----
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_packed_impl(words, cfg: CodecConfig, t: int):
+    """words: uint32[C, F, W32] payload rows → [C, T] audio, fully fused:
+    on-device unpack (gathers) → dequantize → IMDCT → overlap-add. Only
+    the payload words cross the host→device link (decode mirror of
+    _encode_packed_leading; raw fixed-rate layout, SPEC.md §7)."""
+    from tac.ops.bitunpack import read_fields
+
+    c = make_consts(cfg)
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    h = cfg.n_mdct_lines
+    lead = words.shape[:-1]                              # [C, F]
+    wf = words.reshape(-1, words.shape[-1])
+    k = wf.shape[0]
+
+    head_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
+                                s + a * jnp.arange(nb, dtype=jnp.int32)])
+    head_wid = jnp.concatenate([jnp.full(1, s, jnp.int32),
+                                jnp.full(nb, a, jnp.int32)])
+    head = read_fields(wf, jnp.broadcast_to(head_off, (k, nb + 1)),
+                       jnp.broadcast_to(head_wid, (k, nb + 1)))
+    ovs, alloc_code = head[:, 0], head[:, 1:]
+    alloc = ba.code_to_alloc(alloc_code)
+
+    sf_w = jnp.where(alloc > 0, s, 0).astype(jnp.int32)
+    sf_end = jnp.cumsum(sf_w, axis=1)
+    sf = read_fields(wf, (s + a * nb) + (sf_end - sf_w), sf_w)
+
+    m_line = alloc[:, c.band_of_line].astype(jnp.int32)  # [K, H]
+    m_end = jnp.cumsum(m_line, axis=1)
+    mant = read_fields(wf, (s + a * nb) + sf_end[:, -1:] + (m_end - m_line),
+                       m_line)
+
+    code = FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf, mant=mant)
+    y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
+    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+
+
+def decode_clip_packed(words, cfg: CodecConfig, t: int):
+    """uint32[C, F, W32] payload rows → [C, T] (fixed-rate raw streams)."""
+    return _decode_clip_packed_impl(words, cfg, t)
 
 
 # ----------------------------------------------------------- VBR (huffman) --

@@ -68,6 +68,23 @@ def rows_to_bytes(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
     return [flat[i, : nbytes[i]].tobytes() for i in range(flat.shape[0])]
 
 
+def stream_to_rows(data: bytes, offsets: np.ndarray, lens: np.ndarray,
+                   w32: int) -> np.ndarray:
+    """Host staging for device-side unpack: gather each u16-prefixed payload
+    into a zero-padded [K, W32] uint32 (big-endian bit order) row buffer.
+    Vectorized (one scatter over all payload bytes)."""
+    buf = np.frombuffer(data, np.uint8)
+    k = len(offsets)
+    out = np.zeros((k, 4 * w32), np.uint8)
+    lens = np.asarray(lens, np.int64)
+    total = int(lens.sum())
+    fid = np.repeat(np.arange(k), lens)
+    pos = np.arange(total, dtype=np.int64) \
+        - np.repeat(np.cumsum(lens) - lens, lens)
+    out[fid, pos] = buf[np.asarray(offsets, np.int64)[fid] + pos]
+    return out.view(">u4").astype(np.uint32)
+
+
 def rows_to_stream(words: np.ndarray, nbits: np.ndarray) -> bytes:
     """Host finalization into the PAC-T block stream: u16 length prefix per
     row + payload bytes, rows in storage order (vectorized, no per-row
