@@ -169,8 +169,9 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 # in this box faults (UNAVAILABLE) on the fused psy+alloc graph at ~1.7k
 # rows per program; 1024 is measured-good (and 39% faster than 512 — less
 # chunk-scan overhead). lax.map also keeps memory bounded for arbitrarily
-# long clips/batches (SURVEY.md §5.7).
-ENC_CHUNK = 1024
+# long clips/batches (SURVEY.md §5.7). Override with TAC_ENC_CHUNK on
+# healthy backends (larger chunks = fewer scan steps = higher throughput).
+ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 1024))
 
 
 def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):

@@ -59,3 +59,63 @@ def test_vmapped_allocation(rng):
     for i in range(16):
         np.testing.assert_array_equal(
             out[i], oba.BitAlloc(2000, 16, bands.N_BANDS, n_lines, smrs[i]))
+
+
+def test_warm_start_state_on_greedy_trajectory(rng):
+    """The warm-start state must be one greedy itself passes through:
+    replaying single grants from zero for the same number of bits must
+    land on (alloc0, rem0) exactly."""
+    for _ in range(16):
+        smr, n_lines = _rand_case(rng)
+        budget = int(rng.integers(0, 4000))
+        a0, r0 = jba._warm_start(jnp.asarray(smr), n_lines, budget, 16)
+        a0, r0 = np.asarray(a0), int(r0)
+        assert int(np.sum(a0 * np.asarray(n_lines))) == budget - r0
+        # replay greedy single grants until it has spent budget - r0 bits
+        alloc = np.zeros(bands.N_BANDS, np.int64)
+        remaining = budget
+        while remaining > r0:
+            need = smr - jba.DEC_TABLE[alloc]
+            elig = (alloc < 16) & (n_lines > 0) & (n_lines <= remaining)
+            assert elig.any()
+            b = int(np.argmax(np.where(elig, need, -np.inf)))
+            alloc[b] += 1
+            remaining -= int(n_lines[b])
+        assert remaining == r0
+        np.testing.assert_array_equal(alloc, a0)
+
+
+@pytest.mark.parametrize("max_mant", [2, 7, 16])
+def test_warm_start_fuzz_all_budgets(max_mant, rng):
+    """Randomized parity vs the serial oracle across budgets and caps —
+    the warm start must never change the final allocation."""
+    n_lines = bands.lines_per_band(44100, 1024)
+    for _ in range(40):
+        smr = oba.snap_smr(rng.uniform(-40, 120, bands.N_BANDS))
+        budget = int(rng.integers(0, 5000))
+        a_o = oba.BitAlloc(budget, max_mant, bands.N_BANDS, n_lines, smr)
+        a_j = np.asarray(jba.water_fill(jnp.asarray(smr), n_lines, budget,
+                                        max_mant))
+        np.testing.assert_array_equal(a_j, a_o)
+
+
+def test_warm_start_uniform_and_tiny_budgets():
+    """All-zero SMR (uniform mode: every key group is a cross-band tie) and
+    budgets around single-band affordability boundaries."""
+    n_lines = bands.lines_per_band(44100, 1024)
+    for budget in (0, 1, 4, 5, 9, 10, 304, 305, 999, 1282):
+        smr = np.zeros(bands.N_BANDS)
+        a_o = oba.BitAlloc(budget, 16, bands.N_BANDS, n_lines, smr)
+        a_j = np.asarray(jba.water_fill(jnp.zeros(bands.N_BANDS), n_lines,
+                                        budget))
+        np.testing.assert_array_equal(a_j, a_o)
+
+
+def test_traced_budget_matches_static(rng):
+    """The VBR reservoir passes budget as a traced int32 — same result."""
+    smr, n_lines = _rand_case(rng)
+    f = jax.jit(lambda s, b: jba.water_fill(s, n_lines, b))
+    for budget in (0, 777, 2000):
+        a_t = np.asarray(f(jnp.asarray(smr), jnp.asarray(budget, jnp.int32)))
+        a_s = np.asarray(jba.water_fill(jnp.asarray(smr), n_lines, budget))
+        np.testing.assert_array_equal(a_t, a_s)
