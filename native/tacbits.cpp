@@ -8,6 +8,11 @@
 // ctypes interface (tac/native.py) with a pure-NumPy fallback.
 //
 // Bit order: MSB-first within the byte stream (SPEC.md §7).
+//
+// Decoder input is untrusted: every read is bounded by total_bits (reads
+// past the end return zero bits and latch an overrun flag; entry points
+// report overrun as a negative return so tac/native.py can raise a
+// corrupt-stream error instead of decoding garbage).
 
 #include <cstdint>
 #include <cstring>
@@ -16,12 +21,19 @@ namespace {
 
 struct BitReader {
     const uint8_t* data;
-    int64_t pos;  // absolute bit index
+    int64_t pos;         // absolute bit index
+    int64_t total_bits;  // buffer size bound
+    bool overrun;
 
     inline uint64_t read(int width) {
         uint64_t v = 0;
         for (int i = 0; i < width; ++i) {
-            v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1u);
+            if (pos < total_bits) {
+                v = (v << 1) | ((data[pos >> 3] >> (7 - (pos & 7))) & 1u);
+            } else {
+                v <<= 1;
+                overrun = true;
+            }
             ++pos;
         }
         return v;
@@ -33,10 +45,13 @@ struct BitReader {
 extern "C" {
 
 // Sequential variable-width field reads starting at bit_offset.
-void tac_unpack_fields(const uint8_t* data, int64_t bit_offset,
-                       const int32_t* widths, int64_t n, int64_t* out) {
-    BitReader br{data, bit_offset};
+// Returns the end bit position, or -1 if any read crossed total_bits.
+int64_t tac_unpack_fields(const uint8_t* data, int64_t total_bits,
+                          int64_t bit_offset, const int32_t* widths,
+                          int64_t n, int64_t* out) {
+    BitReader br{data, bit_offset, total_bits, false};
     for (int64_t i = 0; i < n; ++i) out[i] = (int64_t)br.read(widths[i]);
+    return br.overrun ? -1 : br.pos;
 }
 
 // Decode one block's mantissa run: per line a canonical-Huffman symbol
@@ -46,14 +61,16 @@ void tac_unpack_fields(const uint8_t* data, int64_t bit_offset,
 //   else          -> LUT walk on table (m - 2); escape emits raw m bits.
 // Tables are concatenated peek LUTs: for size m the LUT has (1 << L[m-2])
 // entries of (symbol, length) int32 pairs; lut_off gives the entry offset.
-// Returns the end bit position.
+// Returns the end bit position, or -1 if any consuming read crossed
+// total_bits (the peek loop alone may zero-pad past the end: a codeword
+// ending exactly at the buffer end is legal).
 int64_t tac_huffman_decode_lines(
     const uint8_t* data, int64_t start_bit, int64_t total_bits,
     const int32_t* m_per_line, int64_t h,
     const int32_t* lut_sym, const int32_t* lut_len,
     const int64_t* lut_off, const int32_t* lut_bits,
     const int32_t* escape_sym, int64_t* out) {
-    BitReader br{data, start_bit};
+    BitReader br{data, start_bit, total_bits, false};
     for (int64_t i = 0; i < h; ++i) {
         int m = m_per_line[i];
         if (m == 0) { out[i] = 0; continue; }
@@ -71,13 +88,15 @@ int64_t tac_huffman_decode_lines(
         }
         int32_t sym = lut_sym[lut_off[t] + peek];
         br.pos += lut_len[lut_off[t] + peek];
+        if (br.pos > total_bits) br.overrun = true;
         if (sym == escape_sym[t]) {
             out[i] = (int64_t)br.read(m);
         } else {
             out[i] = sym;
         }
+        if (br.overrun) return -1;
     }
-    return br.pos;
+    return br.overrun ? -1 : br.pos;
 }
 
 // MSB-first field packing (host fallback mirror of the device packer).

@@ -142,35 +142,44 @@ def decode_lines(bits: np.ndarray, start: int, m_per_line: np.ndarray
     bits: uint8[*] unpacked bit array; start: absolute bit offset;
     m_per_line: int[H] mantissa size per line (0 = absent).
     Returns (mant[H], end_offset).
+
+    Raises tac.native.CorruptStreamError when a consuming read crosses the
+    buffer end (truncated/malformed stream) — same contract as the C path.
     """
+    from tac.native import CorruptStreamError
+
     luts = _dec_luts()
     out = np.zeros(len(m_per_line), np.int64)
     pos = start
-    # integer view for fast peek: pad bits tail
+    total = len(bits)
+
+    def read_raw(pos, m):
+        if pos + m > total:
+            raise CorruptStreamError("mantissa walk past end of payload")
+        v = 0
+        for _ in range(m):
+            v = (v << 1) | int(bits[pos])
+            pos += 1
+        return v, pos
+
     for i, m in enumerate(m_per_line):
         m = int(m)
         if m == 0:
             continue
         if m < MIN_M or m > MAX_M:
-            v = 0
-            for _ in range(m):
-                v = (v << 1) | int(bits[pos])
-                pos += 1
-            out[i] = v
+            out[i], pos = read_raw(pos, m)
             continue
         sym_lut, len_lut, L, esc = luts[m]
         peek = 0
         for j in range(L):
-            b = int(bits[pos + j]) if pos + j < len(bits) else 0
+            b = int(bits[pos + j]) if pos + j < total else 0
             peek = (peek << 1) | b
         s = int(sym_lut[peek])
         pos += int(len_lut[peek])
+        if pos > total:
+            raise CorruptStreamError("huffman codeword past end of payload")
         if s == esc:
-            v = 0
-            for _ in range(m):
-                v = (v << 1) | int(bits[pos])
-                pos += 1
-            out[i] = v
+            out[i], pos = read_raw(pos, m)
         else:
             out[i] = s
     return out, pos

@@ -38,9 +38,9 @@ def _lib():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    lib.tac_unpack_fields.argtypes = [_i8p, ctypes.c_int64, _i32p,
-                                      ctypes.c_int64, _i64p]
-    lib.tac_unpack_fields.restype = None
+    lib.tac_unpack_fields.argtypes = [_i8p, ctypes.c_int64, ctypes.c_int64,
+                                      _i32p, ctypes.c_int64, _i64p]
+    lib.tac_unpack_fields.restype = ctypes.c_int64
     lib.tac_huffman_decode_lines.argtypes = [
         _i8p, ctypes.c_int64, ctypes.c_int64, _i32p, ctypes.c_int64,
         _i32p, _i32p, _i64p, _i32p, _i32p, _i64p]
@@ -54,17 +54,29 @@ def available() -> bool:
     return _lib() is not None
 
 
+class CorruptStreamError(ValueError):
+    """A decode read ran past the end of the payload buffer."""
+
+
 def unpack_fields(data: np.ndarray, bit_offset: int,
                   widths: np.ndarray) -> np.ndarray:
-    """Sequential field reads from a byte buffer (native; None-safe)."""
+    """Sequential field reads from a byte buffer (native; None-safe).
+
+    Raises CorruptStreamError if the fields run past the buffer end
+    (truncated or malformed stream)."""
     lib = _lib()
     widths = np.ascontiguousarray(widths, np.int32)
     out = np.empty(len(widths), np.int64)
+    data = np.ascontiguousarray(data, np.uint8)
     if lib is None:
         from tac import bitstream as bs
+        if bit_offset + int(widths.sum()) > 8 * len(data):
+            raise CorruptStreamError("field walk past end of payload")
         return bs.unpack_fields(data, widths.astype(np.int64), bit_offset)
-    lib.tac_unpack_fields(np.ascontiguousarray(data, np.uint8),
-                          bit_offset, widths, len(widths), out)
+    end = lib.tac_unpack_fields(data, 8 * len(data), bit_offset, widths,
+                                len(widths), out)
+    if end < 0:
+        raise CorruptStreamError("field walk past end of payload")
     return out
 
 
@@ -109,6 +121,8 @@ def huffman_decode_lines(data_bytes: np.ndarray, start_bit: int,
     end = lib.tac_huffman_decode_lines(data, start_bit, len(data) * 8,
                                        m, len(m), sym, lens, offs, bits_,
                                        escs, out)
+    if end < 0:
+        raise CorruptStreamError("huffman mantissa walk past end of payload")
     return out, int(end)
 
 

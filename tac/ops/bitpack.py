@@ -59,9 +59,25 @@ def pack_rows(vals, wids, cap_bits: int):
     return words.reshape(*lead, w32), nbits.reshape(lead)
 
 
+def _check_capacity(words: np.ndarray, nbits: np.ndarray) -> None:
+    """Fail loudly if any row's packed bits exceed its word capacity.
+
+    pack_rows scatters with mode="drop", so a field-layout change that
+    overruns cap_bits would otherwise corrupt the stream silently; this is
+    the host boundary where the bytes materialize, so it is the one place
+    the check costs nothing on device."""
+    cap = 32 * words.shape[-1]
+    nb = np.asarray(nbits)
+    if nb.size and int(nb.max()) > cap:
+        raise ValueError(
+            f"packed payload overflow: row needs {int(nb.max())} bits but "
+            f"capacity is {cap} — field layout and capacity_bits drifted")
+
+
 def rows_to_bytes(words: np.ndarray, nbits: np.ndarray) -> list[bytes]:
     """Host finalization: big-endian byte view, trimmed to ceil(nbits/8)."""
     words = np.asarray(words)
+    _check_capacity(words, nbits)
     flat = words.reshape(-1, words.shape[-1]).astype(">u4", order="C") \
         .view(np.uint8)
     nbytes = -(-np.asarray(nbits).reshape(-1) // 8)
@@ -90,6 +106,7 @@ def rows_to_stream(words: np.ndarray, nbits: np.ndarray) -> bytes:
     row + payload bytes, rows in storage order (vectorized, no per-row
     Python loop on the hot path)."""
     words = np.asarray(words)
+    _check_capacity(words, nbits)
     k = int(np.prod(words.shape[:-1]))
     flat = words.reshape(k, words.shape[-1]).astype(">u4", order="C") \
         .view(np.uint8)

@@ -43,6 +43,35 @@ def test_huffman_decode_matches_python(rng):
     assert nat_end == ref_end
 
 
+def test_truncated_stream_raises(rng):
+    """Untrusted-input contract: reads past the payload end must raise
+    CorruptStreamError (both the native path and the Python fallback),
+    never read out of bounds or return garbage."""
+    m_line = np.full(64, 6)
+    mant = rng.integers(0, 64, 64)
+    vals, wids = hf.encode_fields(mant[None], m_line[None])
+    packed = bs.pack_fields(vals.ravel(), wids.ravel())
+    truncated = np.frombuffer(packed, np.uint8)[: max(1, len(packed) // 4)]
+    with pytest.raises(native.CorruptStreamError):
+        native.huffman_decode_lines(truncated, 0, m_line)
+    with pytest.raises(native.CorruptStreamError):
+        hf.decode_lines(np.unpackbits(truncated), 0, m_line)
+
+    widths = np.full(100, 16, np.int64)
+    with pytest.raises(native.CorruptStreamError):
+        native.unpack_fields(truncated, 0, widths)
+
+
+def test_exact_end_is_legal(rng):
+    """A stream whose last field ends exactly at the buffer end decodes."""
+    widths = np.array([16, 7, 9], np.int64)   # 32 bits = 4 bytes, no slack
+    vals = np.array([65535, 127, 511], np.uint64)
+    packed = bs.pack_fields(vals, widths)
+    assert len(packed) == 4
+    out = native.unpack_fields(np.frombuffer(packed, np.uint8), 0, widths)
+    np.testing.assert_array_equal(out, vals.astype(np.int64))
+
+
 def test_native_speedup(rng):
     """The native decode should beat the Python bit walk comfortably."""
     import time
