@@ -27,49 +27,78 @@ SMR_GRID = 16.0        # SMR decision grid: 1/16 dB
 # Shared decrement table: DEC[k] = 6.02 * k, k = 0..MANT_MAX.
 DEC_TABLE = np.arange(MANT_MAX + 1, dtype=np.float64) * DB_PER_BIT
 
+# Escape hatch for A/B timing: TAC_NO_WARMSTART=1 starts the while_loop
+# from zeros (identical allocations either way — the warm start is exact).
+_USE_WARM_START = not __import__("os").environ.get("TAC_NO_WARMSTART")
+
 
 def snap_smr(smr):
     """Snap SMRs to the 1/16 dB decision grid (SPEC.md §10 item 2)."""
     return jnp.round(smr * SMR_GRID) / SMR_GRID
 
 
-def _warm_start(smr_q, n_lines, budget, max_mant: int):
-    """Closed-form prefix of the greedy grant sequence (parity-exact).
+def _warm_start(smr_q, n_lines, budget, max_mant: int, n_bisect: int = 32):
+    """Water-level warm start for the greedy grant phase (parity-exact).
 
-    Greedy's grant phase walks the event set {(band b, j-th bit)} with key
-    ``need(b, j) = smr_q[b] - DEC[j-1]`` in descending-key order (ties to the
-    lowest band index — within a band keys strictly decrease, so a tie group
-    holds at most one event per band and a stable band-major sort reproduces
-    greedy's tie-break exactly). The walk matches greedy verbatim up to the
-    FIRST event whose band is unaffordable (n_lines[b] > remaining, i.e. the
-    running cost cumsum first exceeds the budget): before that point every
-    argmax band is affordable, so eligibility filtering never alters the
-    argmax; after it greedy diverges (the skipped band goes permanently
-    dead). Granting that exact prefix in closed form therefore lands on a
-    state greedy itself passes through (frozen flags still all-False — the
-    freeze path needs an empty affordable set, impossible mid-prefix), and
-    the while_loop continues unchanged from there. Verified allocation-
-    identical to the serial oracle on real SMRs and randomized fuzz
-    (tests/test_bitalloc.py).
+    Greedy's grant phase processes the event set {(band b, j-th bit)} with
+    key ``need(b, j) = smr_q[b] - DEC[j-1]`` in descending-key order. For ANY
+    threshold T, the prefix P(T) = {events with key > T} is granted wholly
+    by greedy — in some order, before any other event — PROVIDED no band in
+    the prefix ever becomes unaffordable while its prefix events remain.
+    A sufficient condition: cost(P) = Σ n_lines[b] over P satisfies
+    cost(P) <= budget - Lmax'(T), where Lmax'(T) = max n_lines over bands
+    holding prefix events (remaining stays >= budget - cost >= every prefix
+    band's n_lines, so the eligibility filter never removes the argmax, and
+    the freeze path needs an empty affordable set — impossible mid-prefix).
+    Granting P(T) in closed form therefore lands on a state greedy itself
+    passes through (frozen all-False), and the while_loop continues
+    unchanged from there.
+
+    T is found by a fixed-trip bisection on the water level — monotone:
+    cost is non-increasing and budget - Lmax' non-decreasing in T. Any
+    converged T is valid (imprecision only shrinks the prefix), so no sort
+    and no exact tie handling is needed — XLA sorts are the expensive part
+    on TPU (measured: a [rows, 400] sort cost more than the loop iterations
+    it saved). Verified allocation-identical to the serial oracle on real
+    SMRs and randomized fuzz (tests/test_bitalloc.py); cuts loop iterations
+    ~70 -> ~27 mean (85 -> 41 max) on 128 kbps SMRs.
 
     Returns (alloc0 int32[B], remaining0 int32). budget may be traced (VBR).
     """
-    nb = smr_q.shape[-1]
     m = min(max_mant, MANT_MAX)
     dec = jnp.asarray(DEC_TABLE[:m], smr_q.dtype)
     n_lines = jnp.asarray(n_lines, jnp.int32)
     neg = jnp.asarray(-jnp.inf, smr_q.dtype)
-    keys = jnp.where((n_lines > 0)[:, None],
-                     smr_q[:, None] - dec[None, :], neg)     # [B, m]
-    flat = keys.reshape(-1)                                  # band-major
-    order = jnp.argsort(-flat, stable=True)                  # ties: low band
-    costs = jnp.repeat(n_lines, m)[order]
-    csum = jnp.cumsum(costs)
-    take = (csum <= jnp.asarray(budget, jnp.int32)) & jnp.isfinite(flat[order])
-    taken = jnp.cumprod(take.astype(jnp.int32))              # stop at 1st fail
-    granted = jnp.zeros(flat.shape, jnp.int32).at[order].set(taken)
-    alloc0 = granted.reshape(nb, m).sum(axis=1).astype(jnp.int32)
-    rem0 = jnp.asarray(budget, jnp.int32) - jnp.sum(alloc0 * n_lines)
+    valid = n_lines > 0
+    keys = jnp.where(valid[:, None], smr_q[:, None] - dec[None, :],
+                     neg)                                    # [B, m]
+    budget_i = jnp.asarray(budget, jnp.int32)
+    big = jnp.asarray(1e30, smr_q.dtype)
+    top = keys[:, 0]                                         # per-band max key
+
+    def ok(t):
+        granted = keys > t
+        cost = jnp.sum(jnp.where(granted, n_lines[:, None], 0),
+                       dtype=jnp.int32)
+        lmaxp = jnp.max(jnp.where(top > t, n_lines, 0))
+        return cost <= budget_i - lmaxp
+
+    hi0 = jnp.max(jnp.where(valid, top, -big))               # ok: empty prefix
+    lo0 = jnp.min(jnp.where(valid[:, None], keys, big)) - 1.0
+
+    # unrolled on purpose: under vmap each trip is a handful of tiny
+    # elementwise+reduce ops, and unrolling lets XLA fuse the whole chain
+    # into a few kernels instead of n_bisect sequential loop dispatches
+    # (the loop steps are launch-latency-bound on TPU, not FLOP-bound)
+    lo, hi = lo0, hi0
+    for _ in range(n_bisect):
+        mid = 0.5 * (lo + hi)
+        good = ok(mid)
+        lo = jnp.where(good, lo, mid)
+        hi = jnp.where(good, mid, hi)
+    t_final = hi
+    alloc0 = jnp.sum((keys > t_final).astype(jnp.int32), axis=1)
+    rem0 = budget_i - jnp.sum(alloc0 * n_lines)
     return alloc0, rem0
 
 
@@ -146,7 +175,11 @@ def water_fill(smr_q, n_lines, budget: int, max_mant: int = MANT_MAX):
                             jnp.where(any_lone, f_frozen, frozen))
         return alloc2, rem2, frozen2, done
 
-    alloc0, rem0 = _warm_start(smr_q, n_lines, budget, max_mant)
+    if _USE_WARM_START:
+        alloc0, rem0 = _warm_start(smr_q, n_lines, budget, max_mant)
+    else:
+        alloc0 = jnp.zeros(nb, jnp.int32)
+        rem0 = jnp.asarray(budget, jnp.int32)
     frozen0 = jnp.zeros(nb, bool)
     state = (alloc0, rem0, frozen0, jnp.asarray(False))
     alloc, _, _, _ = jax.lax.while_loop(cond, body, state)

@@ -127,8 +127,11 @@ def frame_signal(x, h: int):
     f = num_frames(t, h)
     pad = [(0, 0)] * (x.ndim - 1) + [(h, (f + 1) * h - t - h)]
     xp = jnp.pad(x, pad)
-    idx = jnp.arange(f)[:, None] * h + jnp.arange(2 * h)[None, :]
-    return xp[..., idx]
+    # two shifted views of the half-block grid instead of a gather (TPU
+    # gathers are bandwidth-hostile; this is two slices + one concat)
+    halves = xp.reshape(*xp.shape[:-1], f + 1, h)
+    return jnp.concatenate([halves[..., :-1, :], halves[..., 1:, :]],
+                           axis=-1)
 
 
 def overlap_add(y, h: int, t: int):

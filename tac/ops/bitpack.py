@@ -6,12 +6,15 @@ TPU so only the true payload bytes cross the device→host link (the encode
 pipeline's only large transfer — measured dominant over the remote-TPU
 tunnel, and flaky for multi-MB transfers).
 
-Scheme: every field (width ≤ 16 < 32 bits) lands in at most two adjacent
-32-bit words of a per-row capacity buffer. Packing is two masked
-scatter-adds per field; fields never share bits, so carry-free integer adds
-equal bitwise OR. Bit order: stream bit p = bit (31 - p%32) of word p//32,
-i.e. big-endian within a word — byte-compatible with
-tac.bitstream.pack_fields (verified bit-exact in tests/test_device_pack.py).
+Scheme: GATHER-based — scatters serialize on TPU (measured: two
+scatter-add fusions were 56% of the whole encode graph). Instead of
+scattering each field into the word buffer, every OUTPUT bit position p
+binary-searches (searchsorted over the width cumsum) which field covers it
+and gathers that bit; 32 bit lanes then reduce into each word. Everything
+is take_along_axis + elementwise — fully parallel over [rows, cap_bits].
+Bit order: stream bit p = bit (31 - p%32) of word p//32, i.e. big-endian
+within a word — byte-compatible with tac.bitstream.pack_fields (verified
+bit-exact in tests/test_device_pack.py).
 """
 
 from __future__ import annotations
@@ -30,32 +33,36 @@ def pack_rows(vals, wids, cap_bits: int):
     Returns (words uint32[..., W32], nbits int32[...]) where the packed
     stream of row r is the big-endian byte view of words[r, :ceil(nbits/32)].
     """
-    import jax
-
     w32 = -(-cap_bits // 32)
     vals = jnp.asarray(vals, jnp.uint32)
     wids_ = jnp.asarray(wids, jnp.int32)
     lead = vals.shape[:-1]
     nf = vals.shape[-1]
+    v = vals.reshape(-1, nf)
+    wd = wids_.reshape(-1, nf)
 
-    def pack_one(v, wd):
-        end = jnp.cumsum(wd)
-        start = end - wd
-        word0 = start >> 5                   # first word touched
-        r = (start & 31).astype(jnp.uint32)  # MSB-first offset within word0
-        w = wd.astype(jnp.uint32)
-        n0 = jnp.minimum(r + w, 32) - r      # bits landing in word0
-        n1 = w - n0                          # bits spilling into word0 + 1
-        c0 = jnp.where(wd > 0, (v >> (w - n0)) << (32 - r - n0), 0)
-        c1 = jnp.where(n1 > 0,
-                       (v & ((jnp.uint32(1) << n1) - 1)) << (32 - n1), 0)
-        buf = jnp.zeros(w32 + 1, jnp.uint32)  # +1 slop word for the spill
-        buf = buf.at[word0].add(c0, mode="drop")
-        buf = buf.at[word0 + 1].add(c1, mode="drop")
-        return buf[:w32], end[-1]
-
-    words, nbits = jax.vmap(pack_one)(vals.reshape(-1, nf),
-                                      wids_.reshape(-1, nf))
+    end = jnp.cumsum(wd, axis=-1)                        # [R, NF] field ends
+    nbits = end[:, -1]
+    start = end - wd
+    word0 = start >> 5                                   # first word touched
+    r = (start & 31).astype(jnp.uint32)                  # MSB-first offset
+    w = wd.astype(jnp.uint32)
+    n0 = jnp.minimum(r + w, 32) - r                      # bits in word0
+    n1 = w - n0                                          # spill into word0+1
+    c0 = jnp.where(wd > 0, (v >> (w - n0)) << (32 - r - n0), jnp.uint32(0))
+    c1 = jnp.where(n1 > 0,
+                   (v & ((jnp.uint32(1) << n1) - 1)) << (32 - n1),
+                   jnp.uint32(0))
+    # word0 is NON-DECREASING along the field axis (cumsum order), so the
+    # scatter is a sorted segment-OR — computed as a broadcast-compare
+    # masked reduce (one fused kernel, no scatter/gather): fields never
+    # share bits within a word, so the integer sum equals bitwise OR.
+    wi = jnp.arange(w32, dtype=jnp.int32)                # [W32]
+    words = (
+        jnp.sum(jnp.where(word0[:, :, None] == wi, c0[:, :, None],
+                          jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+        + jnp.sum(jnp.where(word0[:, :, None] == wi - 1, c1[:, :, None],
+                            jnp.uint32(0)), axis=1, dtype=jnp.uint32))
     return words.reshape(*lead, w32), nbits.reshape(lead)
 
 
