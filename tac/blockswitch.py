@@ -270,6 +270,53 @@ def encode_clip_bs_packed(x, cfg: CodecConfig):
     return _encode_clip_bs_packed_impl(x, cfg)
 
 
+@partial(jax.jit, static_argnums=(4,))
+def _encode_frames_bs_packed(prior, look, new_halves, t_hist,
+                             cfg: CodecConfig):
+    """Streaming block-switch core: emit one frame per new lookahead half.
+
+    With e = index of the next frame to emit and halves h_j (h_j covers
+    samples [j*H, (j+1)*H)): prior [C, H] = h_{e-1}, look [C, H] = h_e,
+    new_halves [C, m, H] = h_{e+1..e+m}, t_hist bool[C, 2] =
+    (t_{e-2}, t_{e-1}) transient flags. Frame j = [h_{j-1} | h_j]; its
+    window state needs flags t_{j-2..j+1} — the identical neighbor logic
+    as the offline window_states (SPEC.md §9), just windowed out of the
+    carried history, so stream bytes == offline bytes.
+
+    Returns (words [C, m, W32], nbits [C, m], t bool[C, m+3]) where t =
+    (t_{e-2}, ..., t_{e+m}); the caller slices its new carry out of t (at
+    the TRUE m when the frame axis was bucket-padded).
+    """
+    from tac.ops.bitpack import pack_rows
+
+    c = make_bs_consts(cfg)
+    dt = c.cl.dtype
+    ch, m = new_halves.shape[0], new_halves.shape[1]
+    halves = jnp.concatenate(
+        [prior.astype(dt)[:, None], look.astype(dt)[:, None],
+         new_halves.astype(dt)], axis=1)                 # [C, m+2]: h_{e-1..e+m}
+    frames = jnp.concatenate([halves[:, :m], halves[:, 1:m + 1]], axis=-1)
+
+    flags = transient_flags(halves[:, 1:].reshape(ch, -1), cfg)  # t_{e..e+m}
+    t = jnp.concatenate([t_hist, flags], axis=1)         # [C, m+3]
+    tm2, tm1 = t[:, 0:m], t[:, 1:m + 1]
+    t0, tp1 = t[:, 2:m + 2], t[:, 3:m + 3]
+    want_prev, want, want_next = tm2 | tm1, tm1 | t0, t0 | tp1
+    short = want | (want_prev & want_next)
+    start = (~short) & want_next
+    stop = (~short) & (~start) & want_prev
+    states = jnp.where(short, SHORT,
+                       jnp.where(start, START,
+                                 jnp.where(stop, STOP, LONG))).astype(jnp.int32)
+
+    bc = _encode_rows_bs(frames.reshape(ch * m, -1), states.reshape(ch * m),
+                         cfg, c)
+    bc = jax.tree_util.tree_map(lambda l: l.reshape(ch, m, *l.shape[1:]), bc)
+    vals, wids = payload_fields_bs(bc, cfg, c)
+    words, nbits = pack_rows(vals, wids, capacity_bits_bs(cfg, c))
+    return words, nbits, t
+
+
 def payload_to_frames_bs(data: bytes, offset: int, n_blocks: int,
                          cfg: CodecConfig) -> BsFrameCode:
     """Host-side deserializer. The field layout is state-independent except

@@ -249,6 +249,25 @@ def encode_clip_packed(x, cfg: CodecConfig):
     return _encode_clip_packed_impl(x, cfg)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _encode_frames_packed(frames, cfg: CodecConfig):
+    """Pre-framed rows [..., F, N] → (words [..., F, W32], nbits [..., F]).
+
+    The streaming encoder's batched core (tac/streaming.py): identical
+    decision chain and packer as the offline clip path, so the emitted
+    stream bytes equal the offline bytes by construction.
+    """
+    from tac.ops.bitpack import pack_rows
+
+    c = make_consts(cfg)
+    lead = frames.shape[:-1]
+    code = _encode_rows(frames.reshape(-1, frames.shape[-1]).astype(c.dtype),
+                        cfg, c)
+    vals, wids = payload_fields(code, cfg, c)
+    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    return words.reshape(*lead, words.shape[-1]), nbits.reshape(lead)
+
+
 # ------------------------------------------------- device-packed decode -----
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -304,14 +323,17 @@ class VbrCode(NamedTuple):
     used_bits: jnp.ndarray   # [C, F] int32 mantissa payload bits actually used
 
 
-def _encode_channel_vbr(frames_1ch, cfg: CodecConfig, c: CodecConsts,
+def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
                         cost_tab):
     """Bit-reservoir scan over one channel's frames (SPEC.md §8).
 
     The reservoir makes frames *sequentially* dependent — the one place the
-    encoder is a lax.scan instead of a vmap. carry = reservoir fill (int32);
-    per step: allocate with budget = base + reservoir, price the mantissas
-    raw vs Huffman (device table gather), bank the savings.
+    encoder is a lax.scan instead of a vmap. carry = reservoir fill (int32),
+    starting at res0 (0 offline; the carried StreamState fill when the
+    streaming encoder resumes mid-stream); per step: allocate with budget =
+    base + reservoir, price the mantissas raw vs Huffman (device table
+    gather), bank the savings. Returns per-step reservoir fills too so a
+    caller that padded the frame axis can read the fill at its true end.
     """
     from tac import huffman as hf
 
@@ -325,11 +347,11 @@ def _encode_channel_vbr(frames_1ch, cfg: CodecConfig, c: CodecConsts,
         table_id = (huf < raw).astype(jnp.int32)
         used = jnp.minimum(raw, huf).astype(jnp.int32)
         res2 = jnp.clip(res + base - used, 0, cap)
-        return res2, (code, table_id, used)
+        return res2, (code, table_id, used, res2)
 
-    _, (codes, tids, used) = jax.lax.scan(step, jnp.asarray(0, jnp.int32),
-                                          frames_1ch)
-    return codes, tids, used
+    _, (codes, tids, used, res_steps) = jax.lax.scan(
+        step, jnp.asarray(res0, jnp.int32), frames_1ch)
+    return codes, tids, used, res_steps
 
 
 @partial(jax.jit, static_argnums=(1,))
@@ -339,14 +361,31 @@ def _encode_clip_vbr_impl(x, cfg: CodecConfig) -> VbrCode:
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
-    codes, tids, used = jax.vmap(
-        lambda fr: _encode_channel_vbr(fr, cfg, c, cost_tab))(frames)
+    codes, tids, used, _ = jax.vmap(
+        lambda fr: _encode_channel_vbr(fr, 0, cfg, c, cost_tab))(frames)
     return VbrCode(code=codes, table_id=tids, used_bits=used)
 
 
 def encode_clip_vbr(x, cfg: CodecConfig) -> VbrCode:
     """x: [C, T] → VbrCode; the use_huffman entry point (jitted per shape)."""
     return _encode_clip_vbr_impl(x, cfg)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _encode_frames_vbr(frames, res0, cfg: CodecConfig):
+    """Pre-framed [C, F, N] + reservoir fills [C] → (VbrCode, res [C, F]).
+
+    Streaming VBR core (tac/streaming.py): the same reservoir scan as the
+    offline clip path, resumed from carried fills, so stream == offline.
+    """
+    from tac import huffman as hf
+
+    c = make_consts(cfg)
+    cost_tab = hf.cost_table_jnp()
+    codes, tids, used, res_steps = jax.vmap(
+        lambda fr, r0: _encode_channel_vbr(fr.astype(c.dtype), r0, cfg, c,
+                                           cost_tab))(frames, res0)
+    return VbrCode(code=codes, table_id=tids, used_bits=used), res_steps
 
 
 # ------------------------------------------------------- clip-level entry ---

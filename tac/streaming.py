@@ -1,14 +1,22 @@
-"""Streaming (chunked) encode/decode with explicit, serializable state.
+"""Streaming (chunked) encode with explicit, serializable state — TPU-native.
 
 The reference is file-at-a-time only; its implicit carried state is the
-`priorBlock` buffer (SURVEY.md §3.1). Here that state is an explicit pytree
-(SURVEY.md §5.4): `(prior half-block, lookahead half-block, VBR reservoir,
-emitted-block count)` — small, serializable, and sufficient to resume an
-encode mid-stream bit-exactly.
+`priorBlock` buffer (SURVEY.md §3.1). Here that state is an explicit record
+(SURVEY.md §5.4): `(prior half-block, lookahead half-block, pending samples,
+VBR reservoir, transient-flag history)` — small, serializable, and
+sufficient to resume an encode mid-stream bit-exactly.
 
-Latency: frames are emitted one half-block (H samples) behind the input so
-the block-switch transient detector sees the half-block ENTERING the next
-frame (SPEC.md §9 lookahead). Total algorithmic delay = 2*H/fs
+TPU-native design: every `push` encodes ALL newly-completed frames in one
+batched jitted call through the SAME cores as the offline clip path
+(`codec._encode_frames_packed` / `codec._encode_frames_vbr` /
+`blockswitch._encode_frames_bs_packed`), so the emitted bytes equal the
+offline `tac.api.encode_array` bytes by construction — there is no separate
+streaming codepath to drift. Frame counts are padded to power-of-two
+buckets so the number of compiled shapes stays logarithmic in push size.
+
+Latency: in block-switch mode frames are emitted one half-block (H samples)
+behind the input so the transient detector sees the half-block ENTERING the
+next frame (SPEC.md §9 lookahead). Total algorithmic delay = 2*H/fs
 (11.6 ms at H = 256, fs = 44.1 kHz — BASELINE config 5's < 20 ms).
 """
 
@@ -21,6 +29,14 @@ import numpy as np
 
 from tac import bands
 from tac.config import CodecConfig
+
+
+def _bucket(m: int, lo: int = 8) -> int:
+    """Smallest power-of-two >= m (>= lo): bounds jit recompiles per shape."""
+    b = lo
+    while b < m:
+        b *= 2
+    return b
 
 
 @dataclasses.dataclass
@@ -109,97 +125,96 @@ class StreamEncoder:
         st = self.state
         h = self.cfg.n_mdct_lines
         buf = np.concatenate([st.pending, x.T], axis=1)
-        out = []
-        while buf.shape[1] >= h:
-            half, buf = buf[:, :h], buf[:, h:]
-            out.append(self._advance(half))
-        st.pending = buf
-        return b"".join(out)
+        c, total = buf.shape
+        m = total // h
+        st.pending = buf[:, m * h:]
+        if m == 0:
+            return b""
+        halves = np.ascontiguousarray(buf[:, : m * h].reshape(c, m, h))
+        return self._emit(halves)
 
     def flush(self) -> bytes:
         """Emit remaining frames (zero-pad tail + final flush block)."""
         st = self.state
+        c, p = st.pending.shape
         h = self.cfg.n_mdct_lines
-        out = []
-        if st.pending.shape[1] > 0:
-            pad = np.zeros((st.pending.shape[0], h - st.pending.shape[1]))
-            out.append(self._advance(np.concatenate([st.pending, pad], 1)))
+        tail = []
+        if p > 0:
+            tail.append(np.concatenate(
+                [st.pending, np.zeros((c, h - p))], axis=1)[:, None, :])
             st.pending = st.pending[:, :0]
-        out.append(self._advance(np.zeros_like(st.prior)))   # flush tail
+        tail.append(np.zeros((c, 1, h)))                 # flush half h_Kb
         if self.cfg.use_block_switch:
-            # the lookahead delay line holds one more emitted frame
-            out.append(self._advance(np.zeros_like(st.prior)))
-        return b"".join(out)
+            tail.append(np.zeros((c, 1, h)))             # lookahead drain
+        return self._emit(np.concatenate(tail, axis=1))
 
     # ------------------------------------------------------------ internal --
 
-    def _advance(self, half: np.ndarray) -> bytes:
-        """Feed one half-block per channel; emit the due frame's payloads."""
-        st = self.state
-        cfg = self.cfg
-        if cfg.use_block_switch:
-            if not st.primed:        # buffer the first half-block (lookahead)
-                st.look = half
-                st.primed = True
+    def _emit(self, halves: np.ndarray) -> bytes:
+        """halves: [C, m, H] newly-completed half-blocks → payload bytes for
+        every frame they make emittable, in one batched jitted call."""
+        if self.cfg.use_block_switch:
+            return self._emit_bs(halves)
+        return self._emit_flat(halves)
+
+    def _emit_flat(self, halves: np.ndarray) -> bytes:
+        """Raw / VBR modes: each half h_j completes frame j = [h_{j-1}|h_j]."""
+        import jax.numpy as jnp
+
+        from tac import api, codec
+        from tac.ops import bitpack as dbp
+
+        st, cfg = self.state, self.cfg
+        c, m, h = halves.shape
+        seq = np.concatenate([st.prior[:, None], halves], axis=1)
+        frames = np.concatenate([seq[:, :m], seq[:, 1:m + 1]], axis=-1)
+        mb = _bucket(m)
+        dt = np.float64 if cfg.precision == "parity" else np.float32
+        fp = jnp.asarray(np.pad(frames, ((0, 0), (0, mb - m), (0, 0)))
+                         .astype(dt))          # upload in compute dtype
+        st.prior = halves[:, -1].copy()
+        st.blocks_out += m
+        if cfg.use_huffman:
+            res0 = jnp.asarray(st.reservoir, jnp.int32)
+            vbr, res_steps = codec._encode_frames_vbr(fp, res0, cfg)
+            st.reservoir = np.asarray(res_steps)[:, m - 1].astype(np.int64)
+            cut = codec.VbrCode(                       # drop bucket padding
+                code=codec.FrameCode(*[np.asarray(l)[:, :m]
+                                       for l in vbr.code]),
+                table_id=np.asarray(vbr.table_id)[:, :m],
+                used_bits=np.asarray(vbr.used_bits)[:, :m])
+            n_lines = bands.lines_per_band(cfg.sample_rate, h)
+            return api.frames_to_payload_vbr(cut, cfg, h, n_lines)
+        words, nbits = codec._encode_frames_packed(fp, cfg)
+        return dbp.rows_to_stream(np.asarray(words)[:, :m].swapaxes(0, 1),
+                                  np.asarray(nbits)[:, :m].swapaxes(0, 1))
+
+    def _emit_bs(self, halves: np.ndarray) -> bytes:
+        import jax.numpy as jnp
+
+        from tac import blockswitch as bsw
+        from tac.ops import bitpack as dbp
+
+        st, cfg = self.state, self.cfg
+        c, m, h = halves.shape
+        if not st.primed:                  # first half becomes the lookahead
+            st.look = halves[:, 0].copy()
+            st.primed = True
+            halves = halves[:, 1:]
+            m -= 1
+            if m == 0:
                 return b""
-            emit_new, st.look = st.look, half
-        else:
-            emit_new = half
-        payload = self._encode_block(emit_new, st.look
-                                     if cfg.use_block_switch else None)
-        st.prior = emit_new.copy()
-        st.blocks_out += 1
-        return payload
-
-    def _encode_block(self, new: np.ndarray,
-                      look: Optional[np.ndarray]) -> bytes:
-        """One frame = [prior | new] per channel; `look` drives transient
-        detection for the block-switch state decision."""
-        from tac.oracle import blockswitch as obs
-        from tac.oracle.bitpack import PackedBits
-        from tac.oracle.codec import EncodeSingleChannel, mantissa_budget
-        from tac.oracle.pacfile import (_mantissa_costs, _write_payload)
-
-        st = self.state
-        cfg = self.cfg
-        out = []
-        for ch in range(new.shape[0]):
-            full = np.concatenate([st.prior[ch], new[ch]])
-            if cfg.use_block_switch:
-                # SPEC §9 neighbor logic from the rolling 4-flag window:
-                # t[i-2], t[i-1] (history), t[i] (new), t[i+1] (lookahead)
-                t_m2, t_m1 = bool(st.t_hist[ch, 0]), bool(st.t_hist[ch, 1])
-                t_0 = bool(obs.transient_flags(new[ch], cfg)[0])
-                t_p1 = bool(obs.transient_flags(look[ch], cfg)[0])
-                want_prev = t_m2 or t_m1
-                want = t_m1 or t_0
-                want_next = t_0 or t_p1
-                if want or (want_prev and want_next):
-                    state = obs.SHORT
-                elif want_next:
-                    state = obs.START
-                elif want_prev:
-                    state = obs.STOP
-                else:
-                    state = obs.LONG
-                st.t_hist[ch] = (t_m1, t_0)
-                pb = PackedBits()
-                obs.encode_block_bs(full, state, cfg, pb)
-                payload = pb.GetPackedData()
-            elif cfg.use_huffman:
-                base = mantissa_budget(cfg, cfg.n_mdct_lines)
-                cap = cfg.reservoir_factor * base
-                budget = base + int(st.reservoir[ch])
-                enc = EncodeSingleChannel(full, cfg, budget)
-                raw, huf = _mantissa_costs(enc[1], enc[3], cfg)
-                tid = 1 if huf < raw else 0
-                used = min(raw, huf)
-                st.reservoir[ch] = min(max(int(st.reservoir[ch])
-                                           + base - used, 0), cap)
-                payload = _write_payload(*enc, cfg, table_id=tid)
-            else:
-                payload = _write_payload(*EncodeSingleChannel(full, cfg),
-                                         cfg)
-            out.append(len(payload).to_bytes(2, "little"))
-            out.append(payload)
-        return b"".join(out)
+        mb = _bucket(m)
+        dt = np.float64 if cfg.precision == "parity" else np.float32
+        hp = jnp.asarray(np.pad(halves, ((0, 0), (0, mb - m), (0, 0)))
+                         .astype(dt))
+        words, nbits, t = bsw._encode_frames_bs_packed(
+            jnp.asarray(st.prior.astype(dt)), jnp.asarray(st.look.astype(dt)),
+            hp, jnp.asarray(st.t_hist), cfg)
+        t = np.asarray(t)
+        st.t_hist = t[:, m:m + 2].copy()   # (t_{e+m-2}, t_{e+m-1})
+        st.prior = (halves[:, -2] if m >= 2 else st.look).copy()
+        st.look = halves[:, -1].copy()
+        st.blocks_out += m
+        return dbp.rows_to_stream(np.asarray(words)[:, :m].swapaxes(0, 1),
+                                  np.asarray(nbits)[:, :m].swapaxes(0, 1))
