@@ -99,6 +99,23 @@ int64_t tac_huffman_decode_lines(
     return br.overrun ? -1 : br.pos;
 }
 
+// Walk k u16-length-prefixed payloads starting at byte `offset`: the
+// decode staging loop (container framing). Returns the end offset, or -1
+// if any prefix or payload crosses the buffer end (truncated stream).
+int64_t tac_split_blocks(const uint8_t* data, int64_t nbytes, int64_t offset,
+                         int64_t k, int64_t* offs, int64_t* lens) {
+    int64_t o = offset;
+    for (int64_t i = 0; i < k; ++i) {
+        if (o + 2 > nbytes) return -1;
+        int64_t len = (int64_t)data[o] | ((int64_t)data[o + 1] << 8);
+        offs[i] = o + 2;
+        lens[i] = len;
+        o += 2 + len;
+        if (o > nbytes) return -1;
+    }
+    return o;
+}
+
 // MSB-first field packing (host fallback mirror of the device packer).
 // Returns total bits written.  out must be zeroed, sized >= ceil(sum/8).
 int64_t tac_pack_fields(const int64_t* vals, const int32_t* widths,

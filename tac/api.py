@@ -267,24 +267,27 @@ def decode_array(data: bytes, precision: str = "parity"
     h = hdr.n_mdct_lines
     from tac.dsp.mdct import num_frames
     f = num_frames(hdr.num_samples, h)
+    # every stream family unpacks ON DEVICE: upload only the payload words
+    # (~the bitstream itself) and decode end-to-end in one fused graph
+    from tac.ops import bitpack as dbp
+    c = cfg.n_channels
+    offs, lens = bs.split_blocks(data, off, f * c)
     if hdr.blockswitch:
         from tac import blockswitch as bsw
-        bc = bsw.payload_to_frames_bs(data, off, f, cfg)
-        x = bsw.decode_clip_bs(bc, cfg, hdr.num_samples)
-    elif hdr.huffman:
-        code = payload_to_frames_vbr(data, off, f, cfg, h)
-        x = codec.decode_clip(code, cfg, hdr.num_samples)  # [C, T]
+        w32 = -(-bsw.capacity_bits_bs(cfg, bsw.make_bs_consts(cfg)) // 32)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)
+        words = jnp.asarray(np.ascontiguousarray(
+            rows.reshape(f, c, w32).swapaxes(0, 1)))       # [C, F, W32]
+        x = bsw.decode_clip_bs_packed(words, cfg, hdr.num_samples)
     else:
-        # raw fixed-rate stream: unpack ON DEVICE — upload only the payload
-        # words, decode end-to-end in one fused graph
-        from tac.ops import bitpack as dbp
-        c = cfg.n_channels
-        offs, lens = bs.split_blocks(data, off, f * c)
         w32 = -(-codec.payload_capacity_bits(cfg) // 32)
         rows = dbp.stream_to_rows(data, offs, lens, w32)   # [F*C, W32]
         words = jnp.asarray(np.ascontiguousarray(
             rows.reshape(f, c, w32).swapaxes(0, 1)))       # [C, F, W32]
-        x = codec.decode_clip_packed(words, cfg, hdr.num_samples)
+        if hdr.huffman:
+            x = codec.decode_clip_vbr_packed(words, cfg, hdr.num_samples)
+        else:
+            x = codec.decode_clip_packed(words, cfg, hdr.num_samples)
     return np.asarray(x).T.astype(np.float32), hdr.sample_rate
 
 

@@ -176,15 +176,10 @@ def assemble_blocks(payloads: np.ndarray, nbytes: np.ndarray) -> bytes:
 def split_blocks(data: bytes, offset: int, k: int):
     """Inverse of assemble_blocks: returns (payload_byte_offsets, nbytes).
 
-    Sequentially walks K u16-prefixed payloads starting at `offset`.
-    Offsets index into `data` (absolute).
+    Walks K u16-prefixed payloads starting at `offset` (the chained length
+    prefixes force a sequential walk — done in native C, with a
+    bounds-checked Python fallback; raises CorruptStreamError on truncated
+    or malformed framing). Offsets index into `data` (absolute).
     """
-    buf = np.frombuffer(data, np.uint8)
-    offs = np.empty(k, np.int64)
-    lens = np.empty(k, np.int64)
-    o = offset
-    for i in range(k):
-        lens[i] = int(buf[o]) | (int(buf[o + 1]) << 8)
-        offs[i] = o + 2
-        o += 2 + lens[i]
-    return offs, lens
+    from tac import native
+    return native.split_blocks(data, offset, k)

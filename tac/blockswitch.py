@@ -394,3 +394,58 @@ def _decode_clip_bs_impl(bc: BsFrameCode, cfg: CodecConfig, t: int):
 
 def decode_clip_bs(bc: BsFrameCode, cfg: CodecConfig, t: int):
     return _decode_clip_bs_impl(bc, cfg, t)
+
+
+def _unpack_bs_fields(wf, cfg: CodecConfig, c: BsConsts) -> BsFrameCode:
+    """Device block-switch field unpack: uint32[K, W32] rows → BsFrameCode
+    [K, ...] (SPEC.md §9 layout: [2-bit state | §7 fields]; the line→band
+    map is selected per row by the decoded window state). Integer-exact vs
+    the host deserializer (tests/test_device_decode)."""
+    from tac.ops.bitunpack import read_fields
+
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    k = wf.shape[0]
+
+    head_off = jnp.concatenate([
+        jnp.asarray([0, 2], jnp.int32),
+        2 + s + a * jnp.arange(nb, dtype=jnp.int32)])
+    head_wid = jnp.concatenate([jnp.asarray([2, s], jnp.int32),
+                                jnp.full(nb, a, jnp.int32)])
+    head = read_fields(wf, jnp.broadcast_to(head_off, (k, nb + 2)),
+                       jnp.broadcast_to(head_wid, (k, nb + 2)))
+    state, ovs, alloc_code = head[:, 0], head[:, 1], head[:, 2:]
+    alloc = codec_mod.ba.code_to_alloc(alloc_code)
+
+    sf_w = jnp.where(alloc > 0, s, 0).astype(jnp.int32)
+    sf_end = jnp.cumsum(sf_w, axis=1)
+    sf = read_fields(wf, (2 + s + a * nb) + (sf_end - sf_w), sf_w)
+
+    # per-row line→band map: grouped short map for SHORT rows, long else
+    bol = jnp.where((state == SHORT)[:, None],
+                    c.cg.band_of_line[None, :], c.cl.band_of_line[None, :])
+    m_line = jnp.take_along_axis(alloc, bol, axis=1).astype(jnp.int32)
+    m_end = jnp.cumsum(m_line, axis=1)
+    mant = read_fields(wf, (2 + s + a * nb) + sf_end[:, -1:]
+                       + (m_end - m_line), m_line)
+
+    fc = codec_mod.FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf,
+                             mant=mant)
+    return BsFrameCode(state=state, long=fc, short=fc)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_bs_packed_impl(words, cfg: CodecConfig, t: int):
+    """words: uint32[C, F, W32] block-switch payload rows → [C, T], fully on
+    device (decode mirror of _encode_clip_bs_packed_impl)."""
+    c = make_bs_consts(cfg)
+    h = cfg.n_mdct_lines
+    lead = words.shape[:-1]                              # [C, F]
+    bc = _unpack_bs_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)    # [K, N]
+    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+
+
+def decode_clip_bs_packed(words, cfg: CodecConfig, t: int):
+    """uint32[C, F, W32] payload rows → [C, T] (block-switch streams)."""
+    return _decode_clip_bs_packed_impl(words, cfg, t)

@@ -314,6 +314,123 @@ def decode_clip_packed(words, cfg: CodecConfig, t: int):
     return _decode_clip_packed_impl(words, cfg, t)
 
 
+def _read_bits_at(words, pos, width):
+    """Per-row dynamic bit read: words [K, W32], pos/width int32[K] →
+    int32[K]. Same two-word merge as ops.bitunpack.read_fields, for traced
+    scan offsets. Reads past the row end clip to the last word — harmless
+    for canonical-Huffman peeks (every LUT entry sharing the true codeword
+    prefix maps to the same symbol)."""
+    w32 = words.shape[-1]
+    word0 = (pos >> 5).astype(jnp.int32)
+    r = (pos & 31).astype(jnp.uint32)
+    hi = jnp.take_along_axis(words, jnp.clip(word0, 0, w32 - 1)[:, None],
+                             axis=-1)[:, 0]
+    lo = jnp.take_along_axis(words, jnp.clip(word0 + 1, 0, w32 - 1)[:, None],
+                             axis=-1)[:, 0]
+    merged = (hi << r) | jnp.where(r > 0, lo >> (32 - r), jnp.uint32(0))
+    w = jnp.asarray(width, jnp.uint32)
+    return jnp.where(w > 0, merged >> (32 - w), jnp.uint32(0)) \
+        .astype(jnp.int32)
+
+
+def _huffman_decode_scan(words, mant_start, m_line):
+    """Device canonical-Huffman mantissa decode (SPEC.md §8 decode walk).
+
+    words: uint32[K, W32]; mant_start: int32[K] absolute bit offset of the
+    mantissa run; m_line: int32[K, H]. The per-line codeword lengths chain
+    the offsets, so the line axis is a lax.scan; all K rows decode in
+    parallel lanes per step (the decode mirror of the encoder's reservoir
+    scan). Returns int32[K, H].
+    """
+    from tac import huffman as hf
+
+    luts = hf._dec_luts()
+    lmax = max(v[2] for v in luts.values())
+    n_tab = hf.MAX_M - hf.MIN_M + 1
+    sym_t = np.zeros((n_tab, 1 << lmax), np.int32)
+    len_t = np.zeros((n_tab, 1 << lmax), np.int32)
+    lbits = np.zeros(n_tab, np.int32)
+    escs = np.zeros(n_tab, np.int32)
+    for m in range(hf.MIN_M, hf.MAX_M + 1):
+        sym_lut, len_lut, l, esc = luts[m]
+        reps = 1 << (lmax - l)
+        sym_t[m - hf.MIN_M] = np.repeat(sym_lut, reps)
+        len_t[m - hf.MIN_M] = np.repeat(len_lut, reps)
+        lbits[m - hf.MIN_M] = l
+        escs[m - hf.MIN_M] = esc
+    sym_t, len_t = jnp.asarray(sym_t), jnp.asarray(len_t)
+    lbits, escs = jnp.asarray(lbits), jnp.asarray(escs)
+
+    def step(pos, m):
+        codable = (m >= hf.MIN_M) & (m <= hf.MAX_M)
+        tab = jnp.clip(m - hf.MIN_M, 0, n_tab - 1)
+        peek = _read_bits_at(words, pos, jnp.full_like(pos, lmax))
+        sym = sym_t[tab, peek]
+        ln = len_t[tab, peek]
+        esc = codable & (sym == escs[tab])
+        code_bits = jnp.where(codable, ln, 0)
+        raw_bits = jnp.where(codable, jnp.where(esc, m, 0), m)
+        rawv = _read_bits_at(words, pos + code_bits, raw_bits)
+        val = jnp.where(codable & ~esc, sym, rawv)
+        return pos + code_bits + raw_bits, val
+
+    _, mant = jax.lax.scan(step, jnp.asarray(mant_start, jnp.int32),
+                           jnp.asarray(m_line, jnp.int32).T)
+    return mant.T                                        # [K, H]
+
+
+def _unpack_vbr_fields(wf, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
+    """Device VBR field unpack: uint32[K, W32] rows → FrameCode [K, ...]
+    (SPEC.md §7 huffman layout). Fixed-offset head reads, raw rows via
+    parallel cumsum-offset gathers, Huffman rows via the line-axis decode
+    scan. Integer-exact vs the host deserializer (tests/test_device_decode)."""
+    from tac.ops.bitunpack import read_fields
+
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    k = wf.shape[0]
+
+    head_off = jnp.concatenate([
+        jnp.asarray([0, s], jnp.int32),
+        s + 2 + a * jnp.arange(nb, dtype=jnp.int32)])
+    head_wid = jnp.concatenate([jnp.asarray([s, 2], jnp.int32),
+                                jnp.full(nb, a, jnp.int32)])
+    head = read_fields(wf, jnp.broadcast_to(head_off, (k, nb + 2)),
+                       jnp.broadcast_to(head_wid, (k, nb + 2)))
+    ovs, tid, alloc_code = head[:, 0], head[:, 1], head[:, 2:]
+    alloc = ba.code_to_alloc(alloc_code)
+
+    sf_w = jnp.where(alloc > 0, s, 0).astype(jnp.int32)
+    sf_end = jnp.cumsum(sf_w, axis=1)
+    sf = read_fields(wf, (s + 2 + a * nb) + (sf_end - sf_w), sf_w)
+
+    m_line = alloc[:, c.band_of_line].astype(jnp.int32)  # [K, H]
+    mant_start = (s + 2 + a * nb) + sf_end[:, -1]
+    m_end = jnp.cumsum(m_line, axis=1)
+    mant_raw = read_fields(wf, mant_start[:, None] + (m_end - m_line),
+                           m_line)
+    mant_huf = _huffman_decode_scan(wf, mant_start, m_line)
+    mant = jnp.where((tid == 1)[:, None], mant_huf, mant_raw)
+    return FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf, mant=mant)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_vbr_packed_impl(words, cfg: CodecConfig, t: int):
+    """words: uint32[C, F, W32] VBR payload rows → [C, T], fully on device:
+    field unpack → dequantize → IMDCT → overlap-add, one fused graph."""
+    c = make_consts(cfg)
+    h = cfg.n_mdct_lines
+    lead = words.shape[:-1]                              # [C, F]
+    code = _unpack_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
+    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+
+
+def decode_clip_vbr_packed(words, cfg: CodecConfig, t: int):
+    """uint32[C, F, W32] VBR payload rows → [C, T] (huffman streams)."""
+    return _decode_clip_vbr_packed_impl(words, cfg, t)
+
+
 # ----------------------------------------------------------- VBR (huffman) --
 
 class VbrCode(NamedTuple):

@@ -47,6 +47,9 @@ def _lib():
     lib.tac_huffman_decode_lines.restype = ctypes.c_int64
     lib.tac_pack_fields.argtypes = [_i64p, _i32p, ctypes.c_int64, _i8p]
     lib.tac_pack_fields.restype = ctypes.c_int64
+    lib.tac_split_blocks.argtypes = [_i8p, ctypes.c_int64, ctypes.c_int64,
+                                     ctypes.c_int64, _i64p, _i64p]
+    lib.tac_split_blocks.restype = ctypes.c_int64
     return lib
 
 
@@ -124,6 +127,37 @@ def huffman_decode_lines(data_bytes: np.ndarray, start_bit: int,
     if end < 0:
         raise CorruptStreamError("huffman mantissa walk past end of payload")
     return out, int(end)
+
+
+def split_blocks(data, offset: int, k: int):
+    """Walk k u16-prefixed payloads (native container framing walk).
+
+    Returns (offs int64[k], lens int64[k]); raises CorruptStreamError if a
+    prefix or payload crosses the buffer end. Falls back to a bounds-checked
+    Python loop without the toolchain.
+    """
+    buf = np.ascontiguousarray(np.frombuffer(data, np.uint8)
+                               if isinstance(data, (bytes, bytearray))
+                               else data, np.uint8)
+    lib = _lib()
+    offs = np.empty(k, np.int64)
+    lens = np.empty(k, np.int64)
+    if lib is not None:
+        end = lib.tac_split_blocks(buf, len(buf), offset, k, offs, lens)
+        if end < 0:
+            raise CorruptStreamError("block framing past end of stream")
+        return offs, lens
+    o = offset
+    n = len(buf)
+    for i in range(k):
+        if o + 2 > n:
+            raise CorruptStreamError("block framing past end of stream")
+        lens[i] = int(buf[o]) | (int(buf[o + 1]) << 8)
+        offs[i] = o + 2
+        o += 2 + int(lens[i])
+        if o > n:
+            raise CorruptStreamError("block framing past end of stream")
+    return offs, lens
 
 
 def pack_fields(vals: np.ndarray, widths: np.ndarray) -> np.ndarray:
