@@ -228,7 +228,9 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     if cfg.use_block_switch:
         from tac import blockswitch as bsw
         from tac.ops import bitpack as dbp
-        words, nbits = bsw.encode_clip_bs_packed(x.T, cfg)
+        enc = (bsw.encode_clip_bs_vbr_packed if cfg.use_huffman
+               else bsw.encode_clip_bs_packed)
+        words, nbits = enc(x.T, cfg)
         payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
                                      np.asarray(nbits).swapaxes(0, 1))
     elif cfg.use_huffman:
@@ -274,11 +276,16 @@ def decode_array(data: bytes, precision: str = "parity"
     offs, lens = bs.split_blocks(data, off, f * c)
     if hdr.blockswitch:
         from tac import blockswitch as bsw
-        w32 = -(-bsw.capacity_bits_bs(cfg, bsw.make_bs_consts(cfg)) // 32)
+        bsc = bsw.make_bs_consts(cfg)
+        cap = (bsw.capacity_bits_bs_vbr(cfg, bsc) if hdr.huffman
+               else bsw.capacity_bits_bs(cfg, bsc))
+        w32 = -(-cap // 32)
         rows = dbp.stream_to_rows(data, offs, lens, w32)
         words = jnp.asarray(np.ascontiguousarray(
             rows.reshape(f, c, w32).swapaxes(0, 1)))       # [C, F, W32]
-        x = bsw.decode_clip_bs_packed(words, cfg, hdr.num_samples)
+        dec = (bsw.decode_clip_bs_vbr_packed if hdr.huffman
+               else bsw.decode_clip_bs_packed)
+        x = dec(words, cfg, hdr.num_samples)
     else:
         w32 = -(-codec.payload_capacity_bits(cfg) // 32)
         rows = dbp.stream_to_rows(data, offs, lens, w32)   # [F*C, W32]

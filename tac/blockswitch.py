@@ -75,11 +75,9 @@ def make_bs_consts(cfg: CodecConfig) -> BsConsts:
     gains = 8.0 / np.mean(state_w ** 2, axis=1)
 
     cl = codec_mod.make_consts(cfg)
-    # SPEC §9: every state uses the same budget (huffman excluded with bs)
-    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    budget = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
-        - 2 - s - bands.N_BANDS * (s + a)
-    cl = cl._replace(budget=max(int(budget), 0))
+    # SPEC §9: every state uses the same budget; frame_budget subtracts the
+    # 2-bit windowState and (in the huffman combo) the 2-bit tableId
+    cl = cl._replace(budget=codec_mod.frame_budget(cfg))
 
     # grouped short consts: the flattened [K*Hs] line vector's band map
     bol_s = bands.band_of_line(cfg.sample_rate, hs)
@@ -143,9 +141,12 @@ def window_states(t_flags, f: int):
 
 # ----------------------------------------------------------------- encode ---
 
-def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts
-                    ) -> BsFrameCode:
-    """frame: [N] (unwindowed), state: [] int32 → both encodings."""
+def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts,
+                    budget=None) -> BsFrameCode:
+    """frame: [N] (unwindowed), state: [] int32 → both encodings.
+
+    budget: optional traced int32 override of the static per-frame mantissa
+    budget (the VBR bit-reservoir scan in the huffman combo, SPEC.md §8)."""
     w = c.state_windows[state]
     if cfg.precision == "parity":
         lines_l = fb.mdct_fft(frame * w, c.cl.window.shape[0] // 2)
@@ -157,7 +158,7 @@ def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts
                                   mdct_gain=c.state_gain[state])
     else:
         smr_l = jnp.zeros(bands.N_BANDS, c.cl.dtype)
-    code_l = codec_mod.quantize_lines(lines_l, smr_l, cfg, c.cl)
+    code_l = codec_mod.quantize_lines(lines_l, smr_l, cfg, c.cl, budget)
 
     sub = frame[c.sub_idx]                               # [K, 2Hs]
     if cfg.precision == "parity":
@@ -171,7 +172,8 @@ def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts
         smr_s = jnp.max(smr_s, axis=0)                   # group: worst case
     else:
         smr_s = jnp.zeros(bands.N_BANDS, c.cg.dtype)
-    code_s = codec_mod.quantize_lines(lines_s.reshape(-1), smr_s, cfg, c.cg)
+    code_s = codec_mod.quantize_lines(lines_s.reshape(-1), smr_s, cfg, c.cg,
+                                      budget)
     return BsFrameCode(state=state, long=code_l, short=code_s)
 
 
@@ -226,6 +228,161 @@ def payload_fields_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
 def capacity_bits_bs(cfg: CodecConfig, c: BsConsts) -> int:
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     return 2 + s + bands.N_BANDS * (a + s) + c.cl.budget + 32
+
+
+# ----------------------------------------------- huffman + block switching ---
+
+def select_code_bs(bc: BsFrameCode, c: BsConsts):
+    """State-pick the serialized encoding: (FrameCode, m_line int32[..., H]).
+
+    Long and grouped-short codes share shapes, so the pick is a jnp.where —
+    no dynamic control flow. m_line follows the state's line→band map."""
+    is_short = bc.state == SHORT
+    sel = lambda l, s_: jnp.where(is_short[..., None], s_, l)
+    code = codec_mod.FrameCode(
+        ovs=jnp.where(is_short, bc.short.ovs, bc.long.ovs),
+        alloc_code=sel(bc.long.alloc_code, bc.short.alloc_code),
+        scale=sel(bc.long.scale, bc.short.scale),
+        mant=sel(bc.long.mant, bc.short.mant))
+    alloc = codec_mod.ba.code_to_alloc(code.alloc_code)
+    bol = jnp.where(is_short[..., None],
+                    c.cg.band_of_line, c.cl.band_of_line)
+    m_line = jnp.take_along_axis(alloc, bol, axis=-1).astype(jnp.int32)
+    return code, m_line
+
+
+def payload_fields_bs_vbr(bc: BsFrameCode, tid, cfg: CodecConfig,
+                          c: BsConsts):
+    """Device-side (vals, wids) for the huffman combo, SPEC.md §7 order:
+    [2-bit state | ovs | 2-bit tableId | allocs | sfs | huffman-or-raw
+    mantissa pairs]. Values/widths state-selected (long vs grouped short)."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    code, m_line = select_code_bs(bc, c)
+    alloc = codec_mod.ba.code_to_alloc(code.alloc_code)
+    hv, hw = codec_mod.vbr_mantissa_pairs(code.mant, m_line, tid)
+    ones = jnp.ones_like(code.alloc_code)
+    vals = jnp.concatenate([bc.state[..., None], code.ovs[..., None],
+                            tid[..., None], code.alloc_code, code.scale,
+                            hv], axis=-1)
+    wids = jnp.concatenate([jnp.full_like(bc.state[..., None], 2),
+                            jnp.full_like(code.ovs[..., None], s),
+                            jnp.full_like(tid[..., None], 2),
+                            ones * a, jnp.where(alloc > 0, s, 0), hw],
+                           axis=-1)
+    return vals, wids
+
+
+def capacity_bits_bs_vbr(cfg: CodecConfig, c: BsConsts) -> int:
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    return 2 + s + 2 + bands.N_BANDS * (a + s) \
+        + c.cl.budget * (1 + cfg.reservoir_factor) + 32
+
+
+def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
+                           c: BsConsts, cost_tab):
+    """Windowstate-aware bit-reservoir scan over one channel (SPEC.md §8+§9).
+
+    Identical reservoir arithmetic to codec._encode_channel_vbr, but the
+    mantissa pricing follows the frame's window state: grouped-short band
+    map for SHORT frames, long map otherwise. carry = reservoir fill."""
+    from tac import huffman as hf
+
+    base = jnp.asarray(c.cl.budget, jnp.int32)
+    cap = jnp.asarray(cfg.reservoir_factor * c.cl.budget, jnp.int32)
+
+    def step(res, xs):
+        frame, state = xs
+        bc = encode_frame_bs(frame, state, cfg, c, budget=base + res)
+        code, m_line = select_code_bs(bc, c)
+        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
+        table_id = (huf < raw).astype(jnp.int32)
+        used = jnp.minimum(raw, huf).astype(jnp.int32)
+        res2 = jnp.clip(res + base - used, 0, cap)
+        return res2, (bc, table_id, res2)
+
+    _, (bcs, tids, res_steps) = jax.lax.scan(
+        step, jnp.asarray(res0, jnp.int32), (frames_1ch, states_1ch))
+    return bcs, tids, res_steps
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_bs_vbr_packed_impl(x, cfg: CodecConfig):
+    from tac import huffman as hf
+    from tac.ops.bitpack import pack_rows
+
+    c = make_bs_consts(cfg)
+    xt = x.astype(c.cl.dtype)
+    frames = fb.frame_signal(xt, cfg.n_mdct_lines)       # [C, F, N]
+    f = frames.shape[1]
+    states = window_states(transient_flags(xt, cfg), f)
+    cost_tab = hf.cost_table_jnp()
+    bc, tids, _ = jax.vmap(
+        lambda fr, st: _encode_channel_bs_vbr(fr, st, 0, cfg, c, cost_tab)
+    )(frames, states)
+    vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
+    return pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
+
+
+def encode_clip_bs_vbr_packed(x, cfg: CodecConfig):
+    """x: [C, T] → (words uint32[C, F, W32], nbits int32[C, F]) — the
+    huffman × block-switch combo entry (device encode + device pack)."""
+    return _encode_clip_bs_vbr_packed_impl(x, cfg)
+
+
+def _unpack_bs_vbr_fields(wf, cfg: CodecConfig, c: BsConsts) -> BsFrameCode:
+    """Device combo field unpack: uint32[K, W32] rows → BsFrameCode [K, ...]
+    (SPEC.md §7 combo layout). Raw rows via cumsum-offset gathers, huffman
+    rows via the line-axis canonical decode scan, band map per state."""
+    from tac.ops.bitunpack import read_fields
+
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    k = wf.shape[0]
+
+    head_off = jnp.concatenate([
+        jnp.asarray([0, 2, 2 + s], jnp.int32),
+        4 + s + a * jnp.arange(nb, dtype=jnp.int32)])
+    head_wid = jnp.concatenate([jnp.asarray([2, s, 2], jnp.int32),
+                                jnp.full(nb, a, jnp.int32)])
+    head = read_fields(wf, jnp.broadcast_to(head_off, (k, nb + 3)),
+                       jnp.broadcast_to(head_wid, (k, nb + 3)))
+    state, ovs, tid, alloc_code = (head[:, 0], head[:, 1], head[:, 2],
+                                   head[:, 3:])
+    alloc = codec_mod.ba.code_to_alloc(alloc_code)
+
+    sf_w = jnp.where(alloc > 0, s, 0).astype(jnp.int32)
+    sf_end = jnp.cumsum(sf_w, axis=1)
+    sf = read_fields(wf, (4 + s + a * nb) + (sf_end - sf_w), sf_w)
+
+    bol = jnp.where((state == SHORT)[:, None],
+                    c.cg.band_of_line[None, :], c.cl.band_of_line[None, :])
+    m_line = jnp.take_along_axis(alloc, bol, axis=1).astype(jnp.int32)
+    mant_start = (4 + s + a * nb) + sf_end[:, -1]
+    m_end = jnp.cumsum(m_line, axis=1)
+    mant_raw = read_fields(wf, mant_start[:, None] + (m_end - m_line),
+                           m_line)
+    mant_huf = codec_mod._huffman_decode_scan(wf, mant_start, m_line)
+    mant = jnp.where((tid == 1)[:, None], mant_huf, mant_raw)
+    fc = codec_mod.FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf,
+                             mant=mant)
+    return BsFrameCode(state=state, long=fc, short=fc)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_bs_vbr_packed_impl(words, cfg: CodecConfig, t: int):
+    """words: uint32[C, F, W32] combo payload rows → [C, T], fully on device
+    (decode mirror of _encode_clip_bs_vbr_packed_impl)."""
+    c = make_bs_consts(cfg)
+    h = cfg.n_mdct_lines
+    lead = words.shape[:-1]                              # [C, F]
+    bc = _unpack_bs_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)    # [K, N]
+    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+
+
+def decode_clip_bs_vbr_packed(words, cfg: CodecConfig, t: int):
+    """uint32[C, F, W32] payload rows → [C, T] (huffman combo streams)."""
+    return _decode_clip_bs_vbr_packed_impl(words, cfg, t)
 
 
 def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,

@@ -208,6 +208,46 @@ def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
     return vals, wids
 
 
+def vbr_mantissa_pairs(mant, m_line, tid):
+    """Device huffman-or-raw mantissa field pairs (SPEC.md §8).
+
+    mant, m_line: int32[..., H]; tid: int32[...] (0 = raw, 1 = trained
+    tables). Returns (vals, wids) int32[..., 2H]: huffman codeword +
+    escape-raw pairs where tid == 1, a raw m_line-bit field (second field
+    width 0) where tid == 0."""
+    from tac import huffman as hf
+
+    hv, hw = hf.encode_fields_device(mant, m_line)
+    raw = (tid == 0)[..., None]
+    v0 = jnp.where(raw, mant, hv[..., 0])
+    w0 = jnp.where(raw, m_line, hw[..., 0])
+    v1 = jnp.where(raw, 0, hv[..., 1])
+    w1 = jnp.where(raw, 0, hw[..., 1])
+    shp = (*mant.shape[:-1], 2 * mant.shape[-1])
+    return (jnp.stack([v0, v1], axis=-1).reshape(shp),
+            jnp.stack([w0, w1], axis=-1).reshape(shp))
+
+
+def payload_fields_vbr(code: FrameCode, tid, cfg: CodecConfig,
+                       c: CodecConsts):
+    """Device-side (vals, wids) per SPEC.md §7 huffman layout:
+    ovs | 2-bit tableId | B alloc codes | B scale factors | huffman-or-raw
+    mantissa pairs. Leaves [..., NF] with NF = 2+2B+2H. Byte-exact with the
+    host serializer api.frames_to_payload_vbr (tests/test_huffman.py)."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    alloc = ba.code_to_alloc(code.alloc_code)
+    m_line = alloc[..., c.band_of_line].astype(jnp.int32)
+    hv, hw = vbr_mantissa_pairs(code.mant, m_line, tid)
+    ones = jnp.ones_like(code.alloc_code)
+    vals = jnp.concatenate([code.ovs[..., None], tid[..., None],
+                            code.alloc_code, code.scale, hv], axis=-1)
+    wids = jnp.concatenate([jnp.full_like(code.ovs[..., None], s),
+                            jnp.full_like(tid[..., None], 2),
+                            ones * a, jnp.where(alloc > 0, s, 0), hw],
+                           axis=-1)
+    return vals, wids
+
+
 def payload_capacity_bits(cfg: CodecConfig,
                           c: Optional[CodecConsts] = None) -> int:
     nb = bands.N_BANDS

@@ -67,11 +67,6 @@ class CodecConfig:
         if self.use_block_switch:
             if self.n_mdct_lines % self.n_mdct_lines_short:
                 raise ValueError("short lines must divide long lines")
-            if self.use_huffman:
-                # v1 freeze: the VBR reservoir scan and the block-switch
-                # state machine are separate encode paths (SPEC.md §7/§9)
-                raise ValueError("use_huffman with use_block_switch is "
-                                 "not supported in v1")
 
     # ---- derived (all python ints: static under jit) ----
 
@@ -121,5 +116,11 @@ PRESETS = {
         sample_rate=44_100, n_channels=1, bitrate_bps=96_000,
         n_mdct_lines=256, n_mdct_lines_short=64, use_block_switch=True,
         use_psy=True,
+    ),
+    # 6. Huffman VBR + block switching combined (SPEC.md §8 + §9: the
+    #    windowState-aware bit reservoir; v2 lifts the v1 veto).
+    "vbr-bs": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, use_huffman=True, use_block_switch=True,
     ),
 }

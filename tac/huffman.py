@@ -111,6 +111,31 @@ def encode_fields(mant: np.ndarray, m_line: np.ndarray):
     return vals, wids
 
 
+def encode_fields_device(mant, m_line):
+    """Device mirror of encode_fields (pure table gathers — jit/vmap-safe).
+
+    mant, m_line: int32[..., H] → (vals, wids) int32[..., H, 2]: per line a
+    codeword field and an escape-raw field (width 0 when not escaped or m
+    outside [MIN_M, MAX_M] — then the codeword field IS the raw mantissa).
+    Feeds tac.ops.bitpack.pack_rows so VBR payloads pack fully on device.
+    """
+    codes, lens, escaped = _enc_arrays()
+    codes_j = jnp.asarray(codes, jnp.int32)
+    lens_j = jnp.asarray(lens, jnp.int32)
+    esc_j = jnp.asarray(escaped)
+    m_line = jnp.asarray(m_line, jnp.int32)
+    mant = jnp.asarray(mant, jnp.int32)
+    m = jnp.clip(m_line, 0, MAX_M)
+    codable = (m_line >= MIN_M) & (m_line <= MAX_M)
+    sym = jnp.clip(mant, 0, 2 ** MAX_M - 1)
+    cw = jnp.where(codable, codes_j[m, sym], mant)
+    cl = jnp.where(codable, lens_j[m, sym], m_line)
+    esc = codable & esc_j[m, sym]
+    vals = jnp.stack([cw, jnp.where(esc, mant, 0)], axis=-1)
+    wids = jnp.stack([cl, jnp.where(esc, m_line, 0)], axis=-1)
+    return vals, wids
+
+
 # ------------------------------------------------------- host: decoding ----
 
 @lru_cache(maxsize=1)

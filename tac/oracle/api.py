@@ -73,15 +73,23 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         states = [obs.window_states(obs.transient_flags(x[:, ch], cfg), f)
                   for ch in range(c)]
         prior = [np.zeros(h) for _ in range(c)]
+        base = obs.frame_budget(cfg)
+        cap = cfg.reservoir_factor * base
+        res = [0] * c                      # VBR bit reservoir (SPEC.md §8)
         for i in range(f):
             newb = xp[i * h:(i + 1) * h] if i < n_blocks \
                 else np.zeros((h, c))
             for ch in range(c):
                 full = np.concatenate([prior[ch], newb[:, ch]])
                 prior[ch] = newb[:, ch].copy()
-                pb = PackedBits()
-                obs.encode_block_bs(full, int(states[ch][i]), cfg, pb)
-                payload = pb.GetPackedData()
+                if cfg.use_huffman:
+                    payload, used = obs.encode_block_bs_vbr(
+                        full, int(states[ch][i]), cfg, base + res[ch])
+                    res[ch] = min(max(res[ch] + base - used, 0), cap)
+                else:
+                    pb = PackedBits()
+                    obs.encode_block_bs(full, int(states[ch][i]), cfg, pb)
+                    payload = pb.GetPackedData()
                 pac.fp.write(len(payload).to_bytes(2, "little"))
                 pac.fp.write(payload)
     else:

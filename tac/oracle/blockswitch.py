@@ -61,11 +61,13 @@ def window_states(t_flags: np.ndarray, f: int) -> np.ndarray:
 
 
 def frame_budget(cfg: CodecConfig) -> int:
-    """SPEC.md §9: same per-frame budget for every window state."""
+    """SPEC.md §9: same per-frame budget for every window state (the 2-bit
+    tableId also comes out of the budget in the huffman combo, §8)."""
     h = cfg.n_mdct_lines
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     b = (cfg.bitrate_bps * h) // (cfg.sample_rate * cfg.n_channels) \
-        - 2 - s - bands.N_BANDS * (s + a)
+        - 2 - s - bands.N_BANDS * (s + a) \
+        - (2 if cfg.use_huffman else 0)
     return max(b, 0)
 
 
@@ -102,24 +104,64 @@ def _psy_smr(full: np.ndarray, lines: np.ndarray, gain: float, fs: int,
 
 
 def _write_grouped(pb: PackedBits, ovs, alloc, scale, mant,
-                   bol: np.ndarray, cfg: CodecConfig) -> None:
+                   bol: np.ndarray, cfg: CodecConfig,
+                   table_id: int | None = None) -> None:
+    """table_id: None in plain block-switch mode; 0/1 in the huffman combo
+    (SPEC.md §7 order: ovs | 2-bit tableId | allocs | sfs | mantissas)."""
+    from tac import huffman as hf
+
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     pb.WriteBits(int(ovs), s)
+    if table_id is not None:
+        pb.WriteBits(int(table_id), 2)
     for b in range(bands.N_BANDS):
         pb.WriteBits(int(alloc[b]) - 1 if alloc[b] > 0 else 0, a)
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
+    tabs = hf.load_tables() if table_id == 1 else None
     for i in range(len(mant)):
         m = int(alloc[bol[i]])
-        if m > 0:
-            pb.WriteBits(int(mant[i]), m)
+        if m <= 0:
+            continue
+        q = int(mant[i])
+        if table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+            t = tabs[m]
+            if t["lengths"][q] > 0:
+                pb.WriteBits(int(t["codes"][q]), int(t["lengths"][q]))
+            else:                             # escape + raw m bits
+                pb.WriteBits(int(t["codes"][-1]), int(t["lengths"][-1]))
+                pb.WriteBits(q, m)
+        else:
+            pb.WriteBits(q, m)
+
+
+def _grouped_costs(alloc, mant, bol: np.ndarray) -> tuple[int, int]:
+    """(raw_bits, huffman_bits) of a grouped mantissa vector (SPEC.md §8)."""
+    from tac import huffman as hf
+
+    cost = hf.cost_table_np()
+    raw = huf = 0
+    for i in range(len(mant)):
+        m = int(alloc[bol[i]])
+        if m <= 0:
+            continue
+        raw += m
+        if hf.MIN_M <= m <= hf.MAX_M:
+            huf += int(cost[m - hf.MIN_M, int(mant[i])])
+        else:
+            huf += m
+    return raw, huf
 
 
 def _read_grouped(pb: PackedBits, bol: np.ndarray, cfg: CodecConfig,
                   n: int):
+    from tac import huffman as hf
+    from tac.oracle.pacfile import _read_huffman_symbol
+
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     ovs = pb.ReadBits(s)
+    table_id = pb.ReadBits(2) if cfg.use_huffman else 0
     alloc = np.zeros(bands.N_BANDS, np.int64)
     for b in range(bands.N_BANDS):
         c = pb.ReadBits(a)
@@ -128,10 +170,15 @@ def _read_grouped(pb: PackedBits, bol: np.ndarray, cfg: CodecConfig,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
+    tabs = hf.load_tables() if table_id == 1 else None
     mant = np.zeros(n, np.int64)
     for i in range(n):
         m = int(alloc[bol[i]])
-        if m > 0:
+        if m <= 0:
+            continue
+        if table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+            mant[i] = _read_huffman_symbol(pb, m, tabs)
+        else:
             mant[i] = pb.ReadBits(m)
     return ovs, alloc, scale, mant
 
@@ -146,15 +193,14 @@ def _tables(cfg: CodecConfig):
     return bol_l, nl_l, bol_g, nl_g
 
 
-def encode_block_bs(full: np.ndarray, state: int, cfg: CodecConfig,
-                    pb: PackedBits) -> None:
-    """Encode one [N] block at the given window state into pb."""
+def _encode_block_bs_fields(full: np.ndarray, state: int, cfg: CodecConfig,
+                            budget: int):
+    """One [N] block at the given window state → ((ovs, alloc, scale,
+    mant), bol) — the state-selected decision chain, serialization apart."""
     h, hs = cfg.n_mdct_lines, cfg.n_mdct_lines_short
     fs = cfg.sample_rate
     k, h3 = h // hs, (h - hs) // 2
-    budget = frame_budget(cfg)
     bol_l, nl_l, bol_g, nl_g = _tables(cfg)
-    pb.WriteBits(int(state), 2)
     if state != SHORT:
         wl = window_fn(cfg.window, 2 * h, cfg.kbd_alpha)
         wstart, wstop = transition_windows(2 * h, 2 * hs, cfg.window,
@@ -166,24 +212,44 @@ def encode_block_bs(full: np.ndarray, state: int, cfg: CodecConfig,
                                        fs, bol_l))
         else:
             smr = np.zeros(bands.N_BANDS)
-        res = _encode_grouped(lines, smr, bol_l, nl_l, cfg, budget)
-        _write_grouped(pb, *res, bol_l, cfg)
-    else:
-        ws = sine_window(2 * hs)
-        gain = 8.0 / np.mean(ws ** 2)
-        lines = np.zeros(h)
-        smr = np.full(bands.N_BANDS, -1e30)
-        for j in range(k):
-            sub = full[h3 + j * hs: h3 + j * hs + 2 * hs]
-            lj = MDCT(ws * sub, hs, hs)
-            lines[j * hs:(j + 1) * hs] = lj
-            if cfg.use_psy:
-                sj = _psy_smr(sub, lj, gain, fs,
-                              bands.band_of_line(fs, hs))
-                smr = np.maximum(smr, sj)
-        smr = ba.snap_smr(smr) if cfg.use_psy else np.zeros(bands.N_BANDS)
-        res = _encode_grouped(lines, smr, bol_g, nl_g, cfg, budget)
-        _write_grouped(pb, *res, bol_g, cfg)
+        return _encode_grouped(lines, smr, bol_l, nl_l, cfg, budget), bol_l
+    ws = sine_window(2 * hs)
+    gain = 8.0 / np.mean(ws ** 2)
+    lines = np.zeros(h)
+    smr = np.full(bands.N_BANDS, -1e30)
+    for j in range(k):
+        sub = full[h3 + j * hs: h3 + j * hs + 2 * hs]
+        lj = MDCT(ws * sub, hs, hs)
+        lines[j * hs:(j + 1) * hs] = lj
+        if cfg.use_psy:
+            sj = _psy_smr(sub, lj, gain, fs,
+                          bands.band_of_line(fs, hs))
+            smr = np.maximum(smr, sj)
+    smr = ba.snap_smr(smr) if cfg.use_psy else np.zeros(bands.N_BANDS)
+    return _encode_grouped(lines, smr, bol_g, nl_g, cfg, budget), bol_g
+
+
+def encode_block_bs(full: np.ndarray, state: int, cfg: CodecConfig,
+                    pb: PackedBits) -> None:
+    """Encode one [N] block at the given window state into pb."""
+    res, bol = _encode_block_bs_fields(full, state, cfg, frame_budget(cfg))
+    pb.WriteBits(int(state), 2)
+    _write_grouped(pb, *res, bol, cfg)
+
+
+def encode_block_bs_vbr(full: np.ndarray, state: int, cfg: CodecConfig,
+                        budget: int) -> tuple[bytes, int]:
+    """Huffman-combo block encode (SPEC.md §8+§9): encode at the reservoir
+    budget, price the state-selected mantissas raw vs Huffman, emit
+    [state | ovs | tableId | ...]. Returns (payload bytes, used bits)."""
+    res, bol = _encode_block_bs_fields(full, state, cfg, budget)
+    ovs, alloc, scale, mant = res
+    raw, huf = _grouped_costs(alloc, mant, bol)
+    tid = 1 if huf < raw else 0
+    pb = PackedBits()
+    pb.WriteBits(int(state), 2)
+    _write_grouped(pb, ovs, alloc, scale, mant, bol, cfg, table_id=tid)
+    return pb.GetPackedData(), min(raw, huf)
 
 
 def decode_block_bs(pb: PackedBits, cfg: CodecConfig) -> np.ndarray:

@@ -69,9 +69,16 @@ def cases():
     yield ("config5_blockswitch",
            PRESETS["streaming-ll"].replace(precision="parity"),
            material["transient44"])
+    yield ("config6_vbr_blockswitch",
+           PRESETS["vbr-bs"].replace(precision="parity", n_mdct_lines=256,
+                                     n_mdct_lines_short=64, n_channels=1),
+           material["transient44"])
 
 
 def digests() -> dict[str, dict]:
+    import jax
+    jax.config.update("jax_enable_x64", True)   # parity precision is f64
+
     from tac import api
 
     out = {}
