@@ -234,8 +234,10 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
                                      np.asarray(nbits).swapaxes(0, 1))
     elif cfg.use_huffman:
-        vbr = codec.encode_clip_vbr(x.T, cfg)
-        payload = frames_to_payload_vbr(vbr, cfg, h, n_lines)
+        from tac.ops import bitpack as dbp
+        words, nbits = codec.encode_clip_vbr_packed(x.T, cfg)
+        payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
+                                     np.asarray(nbits).swapaxes(0, 1))
     else:
         # bit-pack on device; only payload words cross the host link
         from tac.ops import bitpack as dbp

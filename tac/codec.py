@@ -528,6 +528,29 @@ def encode_clip_vbr(x, cfg: CodecConfig) -> VbrCode:
     return _encode_clip_vbr_impl(x, cfg)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):
+    """VBR encode + huffman field pack entirely on device: reservoir scan,
+    raw-vs-huffman pricing, codeword emission (table gathers) and bit pack
+    in one fused graph — only payload words cross the device→host link
+    (mirrors _encode_packed_leading for the fixed-rate path)."""
+    from tac import huffman as hf
+    from tac.ops.bitpack import pack_rows
+
+    c = make_consts(cfg)
+    cost_tab = hf.cost_table_jnp()
+    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
+    codes, tids, _, _ = jax.vmap(
+        lambda fr: _encode_channel_vbr(fr, 0, cfg, c, cost_tab))(frames)
+    vals, wids = payload_fields_vbr(codes, tids, cfg, c)
+    return pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+
+
+def encode_clip_vbr_packed(x, cfg: CodecConfig):
+    """x: [C, T] → (words uint32[C, F, W32], nbits int32[C, F])."""
+    return _encode_clip_vbr_packed_impl(x, cfg)
+
+
 @partial(jax.jit, static_argnums=(2,))
 def _encode_frames_vbr(frames, res0, cfg: CodecConfig):
     """Pre-framed [C, F, N] + reservoir fills [C] → (VbrCode, res [C, F]).

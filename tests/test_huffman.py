@@ -94,6 +94,25 @@ def test_vbr_rd_sweep(clip44):
     assert snrs[-1] > snrs[0] + 5
 
 
+def test_device_pack_matches_host_serializer(clip44):
+    """The fused device huffman pack (encode_clip_vbr_packed) emits the
+    exact bytes of the host reference serializer (frames_to_payload_vbr)."""
+    from tac import bands
+    from tac.ops import bitpack as dbp
+
+    x, fs = clip44
+    cfg = PRESETS["vbr-huffman"].replace(precision="parity")
+    xt = jnp.asarray(x.T)
+    vbr = codec.encode_clip_vbr(xt, cfg)
+    host = api.frames_to_payload_vbr(
+        vbr, cfg, cfg.n_mdct_lines,
+        bands.lines_per_band(cfg.sample_rate, cfg.n_mdct_lines))
+    words, nbits = codec.encode_clip_vbr_packed(xt, cfg)
+    dev = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
+                             np.asarray(nbits).swapaxes(0, 1))
+    assert dev == host
+
+
 def test_reservoir_bounded(clip44):
     x, fs = clip44
     cfg = PRESETS["vbr-huffman"]
