@@ -86,11 +86,14 @@ class CorpusTranscoder:
 
     # ------------------------------------------------------------ encode ---
 
-    def _encode_batch(self, clips: list[np.ndarray]) -> list[bytes]:
+    def _encode_batch(self, clips: list[np.ndarray],
+                      cfg: Optional[CodecConfig] = None) -> list[bytes]:
         """clips: list of [T_i, C] float arrays → per-clip payload bytes.
 
         Pads every clip to the common bucket length; drops rows beyond
         each clip's true frame count (identical bytes to solo encode).
+        cfg overrides self.cfg for one group (rate/channel adaptation —
+        passed explicitly, never by mutating self).
         """
         import jax
 
@@ -98,7 +101,7 @@ class CorpusTranscoder:
         from tac.dsp.mdct import num_frames
         from tac.ops import bitpack as dbp
 
-        cfg = self.cfg
+        cfg = cfg or self.cfg
         h = cfg.n_mdct_lines
         tb = max(_bucket_len(c.shape[0], h) for c in clips)
         n = len(clips)
@@ -121,8 +124,9 @@ class CorpusTranscoder:
                                           n_np[i, :, :f].swapaxes(0, 1)))
         return out
 
-    def _encode_one(self, x: np.ndarray) -> bytes:
-        return self._encode_batch([x])[0]
+    def _encode_one(self, x: np.ndarray,
+                    cfg: Optional[CodecConfig] = None) -> bytes:
+        return self._encode_batch([x], cfg)[0]
 
     # ------------------------------------------------------------- drive ---
 
@@ -158,39 +162,35 @@ class CorpusTranscoder:
         return stats
 
     def _run_group(self, items, n_ch, fs, mf, stats):
-        cfg_saved = self.cfg
-        if fs != self.cfg.sample_rate or n_ch != self.cfg.n_channels:
-            self.cfg = self.cfg.replace(sample_rate=fs, n_channels=n_ch)
+        cfg = self.cfg
+        if fs != cfg.sample_rate or n_ch != cfg.n_channels:
+            cfg = cfg.replace(sample_rate=fs, n_channels=n_ch)
+        t0 = time.perf_counter()
         try:
-            t0 = time.perf_counter()
-            try:
-                payloads = self._encode_batch([x for _, x in items])
-            except Exception:
-                payloads = [None] * len(items)     # fall back per clip
-                for i, (_, x) in enumerate(items):
-                    for _ in range(self.retries + 1):
-                        try:
-                            payloads[i] = self._encode_one(x)
-                            break
-                        except Exception:
-                            continue
-            wall = time.perf_counter() - t0
-            for (p, x), payload in zip(items, payloads):
-                if payload is None:
-                    self._record(mf, stats, p, "quarantined")
-                    continue
-                data = _header_bytes(self.cfg, x.shape[1],
-                                     x.shape[0]) + payload
-                out = os.path.join(self.out_dir, os.path.splitext(
-                    os.path.basename(p))[0] + ".pac")
-                with open(out, "wb") as fo:
-                    fo.write(data)
-                dur = x.shape[0] / fs
-                self._record(mf, stats, p, "ok", out=out, seconds=dur,
-                             kbps=len(data) * 8 / dur / 1000.0,
-                             wall_s=wall / len(items))
-        finally:
-            self.cfg = cfg_saved
+            payloads = self._encode_batch([x for _, x in items], cfg)
+        except Exception:
+            payloads = [None] * len(items)     # fall back per clip
+            for i, (_, x) in enumerate(items):
+                for _ in range(self.retries + 1):
+                    try:
+                        payloads[i] = self._encode_one(x, cfg)
+                        break
+                    except Exception:
+                        continue
+        wall = time.perf_counter() - t0
+        for (p, x), payload in zip(items, payloads):
+            if payload is None:
+                self._record(mf, stats, p, "quarantined")
+                continue
+            data = _header_bytes(cfg, x.shape[1], x.shape[0]) + payload
+            out = os.path.join(self.out_dir, os.path.splitext(
+                os.path.basename(p))[0] + ".pac")
+            with open(out, "wb") as fo:
+                fo.write(data)
+            dur = x.shape[0] / fs
+            self._record(mf, stats, p, "ok", out=out, seconds=dur,
+                         kbps=len(data) * 8 / dur / 1000.0,
+                         wall_s=wall / len(items))
 
     @staticmethod
     def _safe_read(path):
