@@ -427,6 +427,21 @@ def encode_clip_bs_packed(x, cfg: CodecConfig):
     return _encode_clip_bs_packed_impl(x, cfg)
 
 
+def _stream_states(t, m: int):
+    """Window states for m streaming frames from the carried+new transient
+    flags t = (t_{e-2}, ..., t_{e+m}) [C, m+3] — the same neighbor logic as
+    the offline window_states (SPEC.md §9), windowed out of the history."""
+    tm2, tm1 = t[:, 0:m], t[:, 1:m + 1]
+    t0, tp1 = t[:, 2:m + 2], t[:, 3:m + 3]
+    want_prev, want, want_next = tm2 | tm1, tm1 | t0, t0 | tp1
+    short = want | (want_prev & want_next)
+    start = (~short) & want_next
+    stop = (~short) & (~start) & want_prev
+    return jnp.where(short, SHORT,
+                     jnp.where(start, START,
+                               jnp.where(stop, STOP, LONG))).astype(jnp.int32)
+
+
 @partial(jax.jit, static_argnums=(4,))
 def _encode_frames_bs_packed(prior, look, new_halves, t_hist,
                              cfg: CodecConfig):
@@ -456,15 +471,7 @@ def _encode_frames_bs_packed(prior, look, new_halves, t_hist,
 
     flags = transient_flags(halves[:, 1:].reshape(ch, -1), cfg)  # t_{e..e+m}
     t = jnp.concatenate([t_hist, flags], axis=1)         # [C, m+3]
-    tm2, tm1 = t[:, 0:m], t[:, 1:m + 1]
-    t0, tp1 = t[:, 2:m + 2], t[:, 3:m + 3]
-    want_prev, want, want_next = tm2 | tm1, tm1 | t0, t0 | tp1
-    short = want | (want_prev & want_next)
-    start = (~short) & want_next
-    stop = (~short) & (~start) & want_prev
-    states = jnp.where(short, SHORT,
-                       jnp.where(start, START,
-                                 jnp.where(stop, STOP, LONG))).astype(jnp.int32)
+    states = _stream_states(t, m)
 
     bc = _encode_rows_bs(frames.reshape(ch * m, -1), states.reshape(ch * m),
                          cfg, c)
@@ -472,6 +479,40 @@ def _encode_frames_bs_packed(prior, look, new_halves, t_hist,
     vals, wids = payload_fields_bs(bc, cfg, c)
     words, nbits = pack_rows(vals, wids, capacity_bits_bs(cfg, c))
     return words, nbits, t
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _encode_frames_bs_vbr_packed(prior, look, new_halves, t_hist, res0,
+                                 cfg: CodecConfig):
+    """Streaming huffman-combo core: the same halves/flags contract as
+    _encode_frames_bs_packed plus per-channel reservoir fills res0 [C]
+    (the carried StreamState reservoir). Runs the windowState-aware
+    reservoir scan resumed from res0, so stream bytes == offline bytes.
+
+    Returns (words [C, m, W32], nbits [C, m], t bool[C, m+3],
+    res_steps int32[C, m])."""
+    from tac import huffman as hf
+    from tac.ops.bitpack import pack_rows
+
+    c = make_bs_consts(cfg)
+    dt = c.cl.dtype
+    ch, m = new_halves.shape[0], new_halves.shape[1]
+    halves = jnp.concatenate(
+        [prior.astype(dt)[:, None], look.astype(dt)[:, None],
+         new_halves.astype(dt)], axis=1)                 # [C, m+2]
+    frames = jnp.concatenate([halves[:, :m], halves[:, 1:m + 1]], axis=-1)
+    flags = transient_flags(halves[:, 1:].reshape(ch, -1), cfg)
+    t = jnp.concatenate([t_hist, flags], axis=1)         # [C, m+3]
+    states = _stream_states(t, m)
+
+    cost_tab = hf.cost_table_jnp()
+    bc, tids, res_steps = jax.vmap(
+        lambda fr, st, r0: _encode_channel_bs_vbr(fr, st, r0, cfg, c,
+                                                  cost_tab)
+    )(frames, states, jnp.asarray(res0, jnp.int32))
+    vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
+    words, nbits = pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
+    return words, nbits, t, res_steps
 
 
 def payload_to_frames_bs(data: bytes, offset: int, n_blocks: int,

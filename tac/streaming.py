@@ -208,9 +208,16 @@ class StreamEncoder:
         dt = np.float64 if cfg.precision == "parity" else np.float32
         hp = jnp.asarray(np.pad(halves, ((0, 0), (0, mb - m), (0, 0)))
                          .astype(dt))
-        words, nbits, t = bsw._encode_frames_bs_packed(
-            jnp.asarray(st.prior.astype(dt)), jnp.asarray(st.look.astype(dt)),
-            hp, jnp.asarray(st.t_hist), cfg)
+        prior = jnp.asarray(st.prior.astype(dt))
+        look = jnp.asarray(st.look.astype(dt))
+        if cfg.use_huffman:                # combo: reservoir rides the state
+            words, nbits, t, res_steps = bsw._encode_frames_bs_vbr_packed(
+                prior, look, hp, jnp.asarray(st.t_hist),
+                jnp.asarray(st.reservoir, jnp.int32), cfg)
+            st.reservoir = np.asarray(res_steps)[:, m - 1].astype(np.int64)
+        else:
+            words, nbits, t = bsw._encode_frames_bs_packed(
+                prior, look, hp, jnp.asarray(st.t_hist), cfg)
         t = np.asarray(t)
         st.t_hist = t[:, m:m + 2].copy()   # (t_{e+m-2}, t_{e+m-1})
         st.prior = (halves[:, -2] if m >= 2 else st.look).copy()

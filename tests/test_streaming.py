@@ -20,7 +20,7 @@ def clip():
 
 
 @pytest.mark.parametrize("preset", ["streaming-ll", "stereo44-128",
-                                    "vbr-huffman"])
+                                    "vbr-huffman", "vbr-bs"])
 def test_stream_equals_offline(preset, clip):
     x, fs = clip
     cfg = PRESETS[preset].replace(precision="parity", n_channels=1,
@@ -52,6 +52,24 @@ def test_checkpoint_resume(clip):
     x, fs = clip
     cfg = PRESETS["streaming-ll"].replace(precision="parity", n_channels=1,
                                           sample_rate=fs)
+    cut = len(x) // 2 + 123
+    enc = StreamEncoder(cfg, n_channels=1)
+    part1 = enc.header(len(x)) + enc.push(x[:cut])
+    blob = enc.state.to_bytes()
+
+    enc2 = StreamEncoder(cfg, n_channels=1)
+    enc2.state = StreamState.from_bytes(blob)
+    part2 = enc2.push(x[cut:]) + enc2.flush()
+    assert part1 + part2 == api.encode_array(x, cfg)
+
+
+def test_checkpoint_resume_combo(clip):
+    """Combo streams carry BOTH the reservoir and the transient-flag
+    history; mid-stream resume must stay bit-exact (SPEC.md §8+§9)."""
+    x, fs = clip
+    cfg = PRESETS["vbr-bs"].replace(precision="parity", n_channels=1,
+                                    sample_rate=fs, n_mdct_lines=256,
+                                    n_mdct_lines_short=64)
     cut = len(x) // 2 + 123
     enc = StreamEncoder(cfg, n_channels=1)
     part1 = enc.header(len(x)) + enc.push(x[:cut])
