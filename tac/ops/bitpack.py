@@ -95,7 +95,19 @@ def stream_to_rows(data: bytes, offsets: np.ndarray, lens: np.ndarray,
                    w32: int) -> np.ndarray:
     """Host staging for device-side unpack: gather each u16-prefixed payload
     into a zero-padded [K, W32] uint32 (big-endian bit order) row buffer.
-    Vectorized (one scatter over all payload bytes)."""
+    Vectorized (one scatter over all payload bytes).
+
+    Rejects payloads longer than the config-implied capacity with a clear
+    corrupt-stream error (an inflated u16 length prefix would otherwise
+    surface as an opaque scatter IndexError)."""
+    from tac.native import CorruptStreamError
+
+    cap = 4 * w32
+    if len(lens) and int(np.max(lens)) > cap:
+        raise CorruptStreamError(
+            f"block payload of {int(np.max(lens))} bytes exceeds the "
+            f"{cap}-byte capacity implied by the stream header — "
+            f"corrupt length prefix or header")
     buf = np.frombuffer(data, np.uint8)
     k = len(offsets)
     out = np.zeros((k, 4 * w32), np.uint8)

@@ -29,14 +29,42 @@ def test_bad_version_rejected():
         bs.read_header(bytes(data))
 
 
+def test_inflated_length_prefix_rejected():
+    """A u16 block length pushed past the header-implied payload capacity
+    must raise a clear corrupt-stream error, not an opaque numpy fault."""
+    from tac.native import CorruptStreamError
+
+    cfg = PRESETS["mono16-64"]
+    x = 0.3 * np.sin(2 * np.pi * 440 * np.arange(4000) / 16000)
+    data = bytearray(api.encode_array(x, cfg))
+    _, off = bs.read_header(bytes(data))
+    struct.pack_into("<H", data, off, 0xFFF0)    # inflate first block length
+    with pytest.raises(CorruptStreamError):
+        api.decode_array(bytes(data))
+
+
+def test_truncated_stream_rejected():
+    """Cutting a stream mid-payload must raise CorruptStreamError."""
+    from tac.native import CorruptStreamError
+
+    cfg = PRESETS["mono16-64"]
+    x = 0.3 * np.sin(2 * np.pi * 440 * np.arange(4000) / 16000)
+    data = api.encode_array(x, cfg)
+    with pytest.raises(CorruptStreamError):
+        api.decode_array(data[: len(data) - len(data) // 4])
+
+
 def test_config_validation():
     with pytest.raises(ValueError):
         CodecConfig(n_mdct_lines=1000)           # not a power of two
     with pytest.raises(ValueError):
         CodecConfig(window="boxcar")
     with pytest.raises(ValueError):
-        CodecConfig(use_block_switch=True, use_huffman=True,
-                    n_mdct_lines=256, n_mdct_lines_short=64)
+        CodecConfig(use_block_switch=True, n_mdct_lines=256,
+                    n_mdct_lines_short=96)       # short must divide long
+    # the huffman x block-switch combo is legal since v2 (SPEC.md §8)
+    CodecConfig(use_block_switch=True, use_huffman=True,
+                n_mdct_lines=256, n_mdct_lines_short=64)
 
 
 def test_wav_format_coverage(tmp_path, rng):
