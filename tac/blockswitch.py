@@ -225,9 +225,12 @@ def payload_fields_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
     return vals, wids
 
 
-def capacity_bits_bs(cfg: CodecConfig, c: BsConsts) -> int:
+def capacity_bits_bs(cfg: CodecConfig, c: BsConsts = None) -> int:
+    """Pure host arithmetic — decode staging must NOT build BsConsts (its
+    eager basis matrices are a multi-MB device upload per call)."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    return 2 + s + bands.N_BANDS * (a + s) + c.cl.budget + 32
+    return 2 + s + bands.N_BANDS * (a + s) \
+        + codec_mod.frame_budget(cfg) + 32
 
 
 # ----------------------------------------------- huffman + block switching ---
@@ -272,10 +275,12 @@ def payload_fields_bs_vbr(bc: BsFrameCode, tid, cfg: CodecConfig,
     return vals, wids
 
 
-def capacity_bits_bs_vbr(cfg: CodecConfig, c: BsConsts) -> int:
+def capacity_bits_bs_vbr(cfg: CodecConfig, c: BsConsts = None) -> int:
+    """Pure host arithmetic — decode staging must NOT build BsConsts (its
+    eager basis matrices are a multi-MB device upload per call)."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     return 2 + s + 2 + bands.N_BANDS * (a + s) \
-        + c.cl.budget * (1 + cfg.reservoir_factor) + 32
+        + codec_mod.frame_budget(cfg) * (1 + cfg.reservoir_factor) + 32
 
 
 def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,

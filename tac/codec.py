@@ -387,26 +387,25 @@ def _huffman_decode_scan(words, mant_start, m_line):
     luts = hf._dec_luts()
     lmax = max(v[2] for v in luts.values())
     n_tab = hf.MAX_M - hf.MIN_M + 1
-    sym_t = np.zeros((n_tab, 1 << lmax), np.int32)
-    len_t = np.zeros((n_tab, 1 << lmax), np.int32)
-    lbits = np.zeros(n_tab, np.int32)
+    # one PACKED lut (len << 16 | symbol): the per-step [K]-lane random
+    # gather is the scan's bottleneck, so halve the gather count
+    pak_t = np.zeros((n_tab, 1 << lmax), np.int32)
     escs = np.zeros(n_tab, np.int32)
     for m in range(hf.MIN_M, hf.MAX_M + 1):
         sym_lut, len_lut, l, esc = luts[m]
         reps = 1 << (lmax - l)
-        sym_t[m - hf.MIN_M] = np.repeat(sym_lut, reps)
-        len_t[m - hf.MIN_M] = np.repeat(len_lut, reps)
-        lbits[m - hf.MIN_M] = l
+        pak_t[m - hf.MIN_M] = np.repeat((len_lut << 16) | sym_lut, reps)
         escs[m - hf.MIN_M] = esc
-    sym_t, len_t = jnp.asarray(sym_t), jnp.asarray(len_t)
-    lbits, escs = jnp.asarray(lbits), jnp.asarray(escs)
+    pak_t = jnp.asarray(pak_t)
+    escs = jnp.asarray(escs)
 
     def step(pos, m):
         codable = (m >= hf.MIN_M) & (m <= hf.MAX_M)
         tab = jnp.clip(m - hf.MIN_M, 0, n_tab - 1)
         peek = _read_bits_at(words, pos, jnp.full_like(pos, lmax))
-        sym = sym_t[tab, peek]
-        ln = len_t[tab, peek]
+        pak = pak_t[tab, peek]
+        sym = pak & 0xFFFF
+        ln = pak >> 16
         esc = codable & (sym == escs[tab])
         code_bits = jnp.where(codable, ln, 0)
         raw_bits = jnp.where(codable, jnp.where(esc, m, 0), m)
@@ -414,6 +413,8 @@ def _huffman_decode_scan(words, mant_start, m_line):
         val = jnp.where(codable & ~esc, sym, rawv)
         return pos + code_bits + raw_bits, val
 
+    # NOT unrolled: measured on-chip, unroll=8 gave no gain (the scan is
+    # bound by the serial gather chain, not loop dispatch)
     _, mant = jax.lax.scan(step, jnp.asarray(mant_start, jnp.int32),
                            jnp.asarray(m_line, jnp.int32).T)
     return mant.T                                        # [K, H]

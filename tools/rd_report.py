@@ -60,7 +60,8 @@ def main():
     prec = "parity" if args.parity else "fast"
 
     rows = []
-    for mode, preset in (("fixed", "stereo44-128"), ("vbr", "vbr-huffman")):
+    for mode, preset in (("fixed", "stereo44-128"), ("vbr", "vbr-huffman"),
+                         ("vbr-bs", "vbr-bs")):
         for kbps in (32, 64, 96, 128, 192, 256):
             cfg = PRESETS[preset].replace(bitrate_bps=kbps * 1000,
                                           sample_rate=fs, precision=prec)
