@@ -257,17 +257,22 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     return bs.write_header(hdr) + payload
 
 
-def decode_array(data: bytes, precision: str = "parity"
-                 ) -> tuple[np.ndarray, int]:
-    """PAC-T bytes → (float32[T, C], sample_rate)."""
-    hdr, off = bs.read_header(data)
-    cfg = CodecConfig(
+def header_config(hdr: bs.PacHeader, precision: str = "fast") -> CodecConfig:
+    """The decode-side CodecConfig implied by a PAC-T header."""
+    return CodecConfig(
         sample_rate=hdr.sample_rate, n_channels=hdr.n_channels,
         bitrate_bps=hdr.bitrate_bps, n_mdct_lines=hdr.n_mdct_lines,
         n_scale_bits=hdr.n_scale_bits, n_mant_size_bits=hdr.n_mant_size_bits,
         use_huffman=hdr.huffman, use_block_switch=hdr.blockswitch,
         n_mdct_lines_short=max(hdr.n_mdct_lines_short, 1),
         use_psy=False, precision=precision)
+
+
+def decode_array(data: bytes, precision: str = "parity"
+                 ) -> tuple[np.ndarray, int]:
+    """PAC-T bytes → (float32[T, C], sample_rate)."""
+    hdr, off = bs.read_header(data)
+    cfg = header_config(hdr, precision)
     h = hdr.n_mdct_lines
     from tac.dsp.mdct import num_frames
     f = num_frames(hdr.num_samples, h)
@@ -278,9 +283,10 @@ def decode_array(data: bytes, precision: str = "parity"
     offs, lens = bs.split_blocks(data, off, f * c)
     if hdr.blockswitch:
         from tac import blockswitch as bsw
-        bsc = bsw.make_bs_consts(cfg)
-        cap = (bsw.capacity_bits_bs_vbr(cfg, bsc) if hdr.huffman
-               else bsw.capacity_bits_bs(cfg, bsc))
+        # capacity is pure host arithmetic: building BsConsts here would
+        # upload the basis matrices on every decode (measured 5x slowdown)
+        cap = (bsw.capacity_bits_bs_vbr(cfg) if hdr.huffman
+               else bsw.capacity_bits_bs(cfg))
         w32 = -(-cap // 32)
         rows = dbp.stream_to_rows(data, offs, lens, w32)
         words = jnp.asarray(np.ascontiguousarray(

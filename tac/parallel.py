@@ -195,6 +195,45 @@ def decode_batch_sharded(code: FrameCode, cfg: CodecConfig, t: int,
     return flat[..., h:h + t]
 
 
+def _packed_decode_impl(cfg: CodecConfig):
+    """The jitted packed-decode entry for cfg's stream family (all four
+    flatten leading axes, so [B, C, F, W32] batches ride the row axis)."""
+    if cfg.use_block_switch:
+        from tac import blockswitch as bsw
+        return (bsw._decode_clip_bs_vbr_packed_impl if cfg.use_huffman
+                else bsw._decode_clip_bs_packed_impl)
+    return (codec._decode_clip_vbr_packed_impl if cfg.use_huffman
+            else codec._decode_clip_packed_impl)
+
+
+def decode_batch_packed(words, cfg: CodecConfig, t: int, huffman=None):
+    """Batched packed decode, the mirror of encode_batch_packed: staged
+    payload rows uint32[B, C, F, W32] → [B, C, T] in one fused graph.
+    Batching amortizes per-call dispatch + transfer latency exactly as it
+    does on encode. The family comes from cfg (use_huffman /
+    use_block_switch); `huffman` is accepted for call-site symmetry."""
+    if huffman is not None:
+        cfg = cfg.replace(use_huffman=huffman)
+    return _packed_decode_impl(cfg)(words, cfg, t)
+
+
+def decode_batch_packed_sharded(words, cfg: CodecConfig, t: int, mesh: Mesh,
+                                huffman=None):
+    """Corpus packed decode over the mesh clips axis: each device unpacks
+    and decodes its clip shard; only payload words go up, PCM comes back
+    sharded. words: uint32[B, C, F, W32], B divisible by the clips axis."""
+    if huffman is not None:
+        cfg = cfg.replace(use_huffman=huffman)
+    impl = _packed_decode_impl(cfg)
+
+    @partial(shard_map, mesh=mesh, in_specs=P("clips"),
+             out_specs=P("clips"), check_vma=False)
+    def run(ws):
+        return impl.__wrapped__(ws, cfg, t)
+
+    return jax.jit(run)(words)
+
+
 # --------------------------------------------------------------- metrics ----
 
 def corpus_metrics_sharded(x, y, mesh: Mesh):

@@ -82,3 +82,42 @@ def test_sharded_roundtrip_bytes_match_api(batch):
     code0 = codec.FrameCode(*[np.asarray(l)[0] for l in code_s])
     payload = api.frames_to_payload(code0, CFG, h, n_lines)
     assert payload == d_single[len(d_single) - len(payload):]
+
+
+def _stage_words(data, cfg):
+    from tac import bitstream as bs
+    from tac.dsp.mdct import num_frames
+    from tac.ops import bitpack as dbp
+    hdr, off = bs.read_header(data)
+    dcfg = cfg.replace(use_psy=False)
+    f = num_frames(hdr.num_samples, cfg.n_mdct_lines)
+    c = cfg.n_channels
+    w32 = -(-codec.payload_capacity_bits(dcfg) // 32)
+    offs, lens = bs.split_blocks(data, off, f * c)
+    rows = dbp.stream_to_rows(data, offs, lens, w32)
+    return (np.ascontiguousarray(rows.reshape(f, c, w32).swapaxes(0, 1)),
+            dcfg, hdr.num_samples)
+
+
+@pytest.mark.parametrize("huffman", [False, True])
+def test_batched_packed_decode_matches_per_clip(batch, huffman):
+    """decode_batch_packed([B,C,F,W32]) == per-clip decode_array, bit-for-
+    bit on the staged words and sample-exact on the PCM (same graph shape
+    per row, so float equality holds across the batch dim)."""
+    cfg = CFG.replace(use_huffman=huffman)
+    ws, refs = [], []
+    for i in range(batch.shape[0]):
+        data = api.encode_array(np.asarray(batch[i]).T, cfg)
+        w, dcfg, t = _stage_words(data, cfg)
+        ws.append(w)
+        y, _ = api.decode_array(data, precision="fast")
+        refs.append(y.T)
+    words = jnp.asarray(np.stack(ws))
+    y_b = np.asarray(parallel.decode_batch_packed(words, dcfg, t,
+                                                  huffman=huffman))
+    np.testing.assert_array_equal(y_b.astype(np.float32), np.stack(refs))
+
+    mesh = parallel.make_mesh(n_clips=8, n_frames=1)
+    y_s = np.asarray(parallel.decode_batch_packed_sharded(
+        jnp.asarray(words), dcfg, t, mesh, huffman=huffman))
+    np.testing.assert_array_equal(y_s, y_b)

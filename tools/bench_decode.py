@@ -1,0 +1,118 @@
+"""Decode-side throughput on the live backend (VERDICT r1: decode measured
+78 audio-sec/s vs encode 240 — a 3x asymmetry to close with device unpack).
+
+Measures audio-sec decoded per wall-second, full path (bytes -> PCM on
+host), plus device-only (staged rows resident, decode graph + tiny pull),
+for the three stream families. Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    cache = os.environ.get("TAC_COMPILE_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from tac import api, bitstream as bs, codec
+    from tac.config import PRESETS
+    from tac.dsp.mdct import num_frames
+    from tac.ops import bitpack as dbp
+
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", 15))
+    fs = 44100
+    t = np.arange(int(fs * secs)) / fs
+    rng = np.random.default_rng(0)
+    sig = sum(a * np.sin(2 * np.pi * f * t)
+              for a, f in [(0.4, 440), (0.2, 880), (0.1, 1320), (0.03, 3080)])
+    x = np.stack([sig, 0.8 * sig + 0.02 * rng.standard_normal(len(t))], 1)
+
+    fams = {"raw": PRESETS["stereo44-128"],
+            "vbr": PRESETS["vbr-huffman"],
+            "bs": PRESETS["streaming-ll"].replace(n_channels=2),
+            "combo": PRESETS["vbr-bs"]}
+    out = {}
+    for name, cfg in fams.items():
+        data = api.encode_array(x[:, : cfg.n_channels], cfg)
+
+        y = api.decode_array(data, precision="fast")  # compile warm
+        iters = 5
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            y, _ = api.decode_array(data, precision="fast")
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_full"] = round(secs / dt, 1)
+
+        # device-only: pre-staged words resident on device, jitted decode,
+        # block until the output exists on device (no host pull of PCM)
+        hdr, off = bs.read_header(data)
+        dcfg = cfg.replace(use_psy=False, precision="fast")
+        f = num_frames(hdr.num_samples, cfg.n_mdct_lines)
+        c = cfg.n_channels
+        offs, lens = bs.split_blocks(data, off, f * c)
+        if cfg.use_block_switch:
+            from tac import blockswitch as bsw
+            cap = (bsw.capacity_bits_bs_vbr(dcfg) if cfg.use_huffman
+                   else bsw.capacity_bits_bs(dcfg))
+            dec = (bsw.decode_clip_bs_vbr_packed if cfg.use_huffman
+                   else bsw.decode_clip_bs_packed)
+        else:
+            cap = codec.payload_capacity_bits(dcfg)
+            dec = (codec.decode_clip_vbr_packed if cfg.use_huffman
+                   else codec.decode_clip_packed)
+        w32 = -(-cap // 32)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)
+        words = jax.device_put(jnp.asarray(np.ascontiguousarray(
+            rows.reshape(f, c, w32).swapaxes(0, 1))))
+        dec(words, dcfg, hdr.num_samples).block_until_ready()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            dec(words, dcfg, hdr.num_samples).block_until_ready()
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_device"] = round(secs / dt, 1)
+
+        # batched full path: 8 clips per dispatch, the symmetric mirror of
+        # bench.py's encode measurement — amortizes the tunnel RTT +
+        # dispatch latency that dominates the single-clip number
+        from tac import parallel
+        b = 8
+        blobs = [data] * b
+
+        def batched_decode():
+            ws = []
+            for d in blobs:                          # host staging per clip
+                h2, o2 = bs.read_header(d)
+                of2, ln2 = bs.split_blocks(d, o2, f * c)
+                r2 = dbp.stream_to_rows(d, of2, ln2, w32)
+                ws.append(r2.reshape(f, c, w32).swapaxes(0, 1))
+            wb = jnp.asarray(np.ascontiguousarray(np.stack(ws)))
+            return np.asarray(parallel.decode_batch_packed(
+                wb, dcfg, hdr.num_samples))
+
+        batched_decode()                             # compile warm
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            batched_decode()
+        dt = (time.perf_counter() - t0) / iters
+        out[f"{name}_batched_full"] = round(b * secs / dt, 1)
+
+    print(json.dumps({"metric": "decode_throughput",
+                      "unit": "audio_sec_per_sec_per_chip",
+                      "backend": jax.default_backend(), **out}))
+
+
+if __name__ == "__main__":
+    main()
