@@ -88,6 +88,14 @@ def main(argv=None) -> int:
     pc.add_argument("--batch-size", type=int, default=8)
     _add_config_flags(pc)
 
+    pcd = sub.add_parser("corpus-decode", help="batch-decode PAC-T → WAVs "
+                         "(manifest resume, per-clip quarantine)")
+    pcd.add_argument("inputs", nargs="+", help="PAC-T files")
+    pcd.add_argument("-o", "--out-dir", required=True)
+    pcd.add_argument("--batch-size", type=int, default=8)
+    pcd.add_argument("--precision", choices=["parity", "fast"],
+                     default="fast")
+
     args = ap.parse_args(argv)
 
     if args.cmd == "encode":
@@ -155,6 +163,14 @@ def main(argv=None) -> int:
         cfg = _build_config(args)
         tc = CorpusTranscoder(cfg, args.out_dir, batch_size=args.batch_size)
         stats = tc.run(args.inputs)
+        print(json.dumps(stats))
+        return 0
+
+    if args.cmd == "corpus-decode":
+        from tac.corpus import CorpusDecoder
+        dec = CorpusDecoder(args.out_dir, batch_size=args.batch_size,
+                            precision=args.precision)
+        stats = dec.run(args.inputs)
         print(json.dumps(stats))
         return 0
     return 1

@@ -209,3 +209,156 @@ class CorpusTranscoder:
             stats["wall_s"] += kw.get("wall_s", 0.0)
         else:
             stats["failed"] += 1
+
+
+class CorpusDecoder:
+    """PAC-T→WAV over a corpus: the decode mirror of CorpusTranscoder.
+
+    Streams are grouped by (header config, padded frame bucket) and decoded
+    in device batches through tac.parallel.decode_batch_packed (optionally
+    sharded over a mesh clips axis). Zero-padded rows carry all-zero alloc
+    codes, which decode to silence past each clip's true frame count, so
+    per-clip PCM is identical to a solo decode (asserted in tests). Same
+    manifest resume + per-clip quarantine contract as the encoder
+    (SURVEY.md §5.3-§5.5)."""
+
+    FRAME_BUCKET = 32
+
+    def __init__(self, out_dir: str, manifest: Optional[str] = None,
+                 batch_size: int = 8, retries: int = 1, io_threads: int = 4,
+                 mesh=None, precision: str = "fast"):
+        self.out_dir = out_dir
+        self.manifest_path = manifest or os.path.join(out_dir,
+                                                      "decode_manifest.jsonl")
+        self.batch_size = batch_size
+        self.retries = retries
+        self.io_threads = io_threads
+        self.mesh = mesh
+        self.precision = precision
+        os.makedirs(out_dir, exist_ok=True)
+
+    def _stage(self, data: bytes):
+        """bytes → (hdr, decode cfg, staged rows [C, F, W32])."""
+        from tac import api, codec
+        from tac.dsp.mdct import num_frames
+        from tac.ops import bitpack as dbp
+
+        hdr, off = bs.read_header(data)
+        cfg = api.header_config(hdr, self.precision)
+        f = num_frames(hdr.num_samples, hdr.n_mdct_lines)
+        c = hdr.n_channels
+        if cfg.use_block_switch:
+            from tac import blockswitch as bsw
+            cap = (bsw.capacity_bits_bs_vbr(cfg) if cfg.use_huffman
+                   else bsw.capacity_bits_bs(cfg))
+        else:
+            cap = codec.payload_capacity_bits(cfg)
+        w32 = -(-cap // 32)
+        offs, lens = bs.split_blocks(data, off, f * c)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)
+        return hdr, cfg, np.ascontiguousarray(
+            rows.reshape(f, c, w32).swapaxes(0, 1))
+
+    def _decode_batch(self, staged: list) -> list[np.ndarray]:
+        """staged: list of (hdr, cfg, rows [C, F_i, W32]) with one shared
+        cfg/W32 → per-clip [T_i, C] float32."""
+        import jax
+        import jax.numpy as jnp
+
+        from tac import parallel
+
+        hdrs = [s[0] for s in staged]
+        cfg = staged[0][1]
+        h = cfg.n_mdct_lines
+        fb_ = max(s[2].shape[1] for s in staged)
+        f_pad = max(-(-fb_ // self.FRAME_BUCKET) * self.FRAME_BUCKET, fb_)
+        n = len(staged)
+        shards = self.mesh.shape["clips"] if self.mesh is not None else 1
+        b = -(-n // shards) * shards
+        c, w32 = staged[0][2].shape[0], staged[0][2].shape[2]
+        words = np.zeros((b, c, f_pad, w32), np.uint32)
+        for i, (_, _, rows) in enumerate(staged):
+            words[i, :, : rows.shape[1]] = rows
+        t_pad = (f_pad - 1) * h
+        if self.mesh is not None:
+            y = parallel.decode_batch_packed_sharded(
+                parallel.shard_clips(jnp.asarray(words), self.mesh),
+                cfg, t_pad, self.mesh)
+        else:
+            y = parallel.decode_batch_packed(jax.device_put(words), cfg,
+                                             t_pad)
+        y_np = np.asarray(y)
+        return [y_np[i, :, : hdr.num_samples].T.astype(np.float32)
+                for i, hdr in enumerate(hdrs)]
+
+    def run(self, pac_paths: Sequence[str], log=print) -> dict:
+        from tac.io.wav import write_wav
+
+        done = _load_manifest(self.manifest_path)
+        todo = [p for p in pac_paths
+                if done.get(p, {}).get("status") != "ok"]
+        log(f"corpus decode: {len(pac_paths)} streams, "
+            f"{len(pac_paths) - len(todo)} already done, {len(todo)} to go")
+        stats = {"ok": len(pac_paths) - len(todo), "failed": 0,
+                 "audio_s": 0.0, "wall_s": 0.0}
+        mf = open(self.manifest_path, "a")
+        pool = ThreadPoolExecutor(self.io_threads)
+        try:
+            for lo in range(0, len(todo), self.batch_size):
+                paths = todo[lo:lo + self.batch_size]
+                blobs = list(pool.map(self._safe_read_bytes, paths))
+                staged, group_paths = {}, {}
+                for p, data in zip(paths, blobs):
+                    if data is None:
+                        self._record(mf, stats, p, "read_error")
+                        continue
+                    try:
+                        hdr, cfg, rows = self._stage(data)
+                    except Exception as e:
+                        self._record(mf, stats, p, "corrupt",
+                                     error=type(e).__name__)
+                        continue
+                    staged.setdefault(cfg, []).append((hdr, cfg, rows))
+                    group_paths.setdefault(cfg, []).append(p)
+                for cfg, items in staged.items():
+                    self._run_group(items, group_paths[cfg], mf, stats,
+                                    write_wav)
+        finally:
+            pool.shutdown(wait=False)
+            mf.close()
+        return stats
+
+    def _run_group(self, items, paths, mf, stats, write_wav):
+        t0 = time.perf_counter()
+        try:
+            pcms = self._decode_batch(items)
+        except Exception:
+            pcms = [None] * len(items)
+            for i, it in enumerate(items):
+                for _ in range(self.retries + 1):
+                    try:
+                        pcms[i] = self._decode_batch([it])[0]
+                        break
+                    except Exception:
+                        continue
+        wall = time.perf_counter() - t0
+        for (hdr, _, _), p, pcm in zip(items, paths, pcms):
+            if pcm is None:
+                self._record(mf, stats, p, "quarantined")
+                continue
+            out = os.path.join(self.out_dir, os.path.splitext(
+                os.path.basename(p))[0] + ".wav")
+            write_wav(out, pcm, hdr.sample_rate)
+            dur = hdr.num_samples / hdr.sample_rate
+            self._record(mf, stats, p, "ok", out=out, seconds=dur,
+                         wall_s=wall / len(items))
+
+    @staticmethod
+    def _safe_read_bytes(path):
+        try:
+            with open(path, "rb") as f:
+                return f.read()
+        except Exception:
+            return None
+
+    _record = CorpusTranscoder._record

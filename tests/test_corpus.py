@@ -99,3 +99,69 @@ def test_decoded_output_valid(corpus_dir):
     x, fs = read_wav(paths[0])
     y, fs2 = api.decode_array((out / "clip0.pac").read_bytes())
     assert fs2 == CFG.sample_rate and y.shape[0] == x.shape[0]
+
+
+def _encode_corpus(tmp_path, paths, cfg=CFG, sub="enc"):
+    out = tmp_path / sub
+    CorpusTranscoder(cfg, str(out), batch_size=4).run(
+        paths, log=lambda *a: None)
+    return [str(out / (os.path.splitext(os.path.basename(p))[0] + ".pac"))
+            for p in paths]
+
+
+def test_corpus_decode_matches_solo(corpus_dir):
+    """Batched corpus decode PCM == per-stream api.decode_array, exactly
+    (zero-padded rows decode to silence past the true frame count)."""
+    from tac.corpus import CorpusDecoder
+    tmp_path, paths = corpus_dir
+    pacs = _encode_corpus(tmp_path, paths)
+    out = tmp_path / "dec"
+    stats = CorpusDecoder(str(out), batch_size=4).run(
+        pacs, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    from tac.io.wav import read_wav
+    for p in pacs:
+        y_solo, fs = api.decode_array(open(p, "rb").read(),
+                                      precision="fast")
+        name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+        y_corp, fs2 = read_wav(str(out / name))
+        assert fs2 == fs
+        # both sides round-trip through 16-bit WAV quantization
+        ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
+        np.testing.assert_array_equal(y_corp, ref)
+
+
+def test_corpus_decode_resume_and_quarantine(corpus_dir, tmp_path):
+    from tac.corpus import CorpusDecoder
+    tp, paths = corpus_dir
+    pacs = _encode_corpus(tp, paths)
+    bad = tmp_path / "bad.pac"
+    bad.write_bytes(b"\x00" * 16)
+    out = tp / "dec2"
+    dec = CorpusDecoder(str(out), batch_size=2)
+    dec.run(pacs[:2], log=lambda *a: None)
+    stats = dec.run([str(bad)] + pacs, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 1
+    recs = {json.loads(l)["clip"]: json.loads(l)["status"]
+            for l in open(out / "decode_manifest.jsonl").read().splitlines()}
+    assert recs[str(bad)] in ("corrupt", "read_error")
+
+
+def test_corpus_decode_mixed_families(corpus_dir):
+    """One run over streams from different configs groups and decodes all."""
+    from tac.corpus import CorpusDecoder
+    tmp_path, paths = corpus_dir
+    pacs_raw = _encode_corpus(tmp_path, paths[:2], CFG, "enc_raw")
+    pacs_vbr = _encode_corpus(tmp_path, paths[2:],
+                              CFG.replace(use_huffman=True), "enc_vbr")
+    out = tmp_path / "dec3"
+    stats = CorpusDecoder(str(out), batch_size=4).run(
+        pacs_raw + pacs_vbr, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    from tac.io.wav import read_wav
+    for p in pacs_raw + pacs_vbr:
+        y_solo, _ = api.decode_array(open(p, "rb").read(), precision="fast")
+        name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+        y_corp, _ = read_wav(str(out / name))
+        ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
+        np.testing.assert_array_equal(y_corp, ref)
