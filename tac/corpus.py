@@ -218,7 +218,8 @@ class CorpusDecoder:
     in device batches through tac.parallel.decode_batch_packed (optionally
     sharded over a mesh clips axis). Zero-padded rows carry all-zero alloc
     codes, which decode to silence past each clip's true frame count, so
-    per-clip PCM is identical to a solo decode (asserted in tests). Same
+    per-clip PCM matches a solo decode to float ulps (within one 16-bit
+    LSB after WAV quantization; asserted in tests). Same
     manifest resume + per-clip quarantine contract as the encoder
     (SURVEY.md §5.3-§5.5)."""
 

