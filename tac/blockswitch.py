@@ -649,6 +649,27 @@ def _decode_clip_bs_packed_impl(words, cfg: CodecConfig, t: int):
     return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
 
 
+@partial(jax.jit, static_argnums=(1,))
+def _decode_frames_bs(words, cfg: CodecConfig):
+    """uint32[..., W32] bs payload rows → [..., 2H] frame audio (no
+    overlap-add — the streaming decoder carries the tail as state)."""
+    c = make_bs_consts(cfg)
+    lead = words.shape[:-1]
+    bc = _unpack_bs_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)
+    return y.reshape(*lead, 2 * cfg.n_mdct_lines)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _decode_frames_bs_vbr(words, cfg: CodecConfig):
+    """uint32[..., W32] combo payload rows → [..., 2H] frame audio."""
+    c = make_bs_consts(cfg)
+    lead = words.shape[:-1]
+    bc = _unpack_bs_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)
+    return y.reshape(*lead, 2 * cfg.n_mdct_lines)
+
+
 def decode_clip_bs_packed(words, cfg: CodecConfig, t: int):
     """uint32[C, F, W32] payload rows → [C, T] (block-switch streams)."""
     return _decode_clip_bs_packed_impl(words, cfg, t)

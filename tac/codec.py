@@ -310,20 +310,14 @@ def _encode_frames_packed(frames, cfg: CodecConfig):
 
 # ------------------------------------------------- device-packed decode -----
 
-@partial(jax.jit, static_argnums=(1, 2))
-def _decode_clip_packed_impl(words, cfg: CodecConfig, t: int):
-    """words: uint32[C, F, W32] payload rows → [C, T] audio, fully fused:
-    on-device unpack (gathers) → dequantize → IMDCT → overlap-add. Only
-    the payload words cross the host→device link (decode mirror of
-    _encode_packed_leading; raw fixed-rate layout, SPEC.md §7)."""
+def _unpack_raw_fields(wf, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
+    """Device raw-layout field unpack: uint32[K, W32] rows → FrameCode
+    [K, ...] (SPEC.md §7 fixed-rate layout). Fixed-offset head reads, then
+    parallel cumsum-offset gathers for scale factors and mantissas."""
     from tac.ops.bitunpack import read_fields
 
-    c = make_consts(cfg)
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     nb = bands.N_BANDS
-    h = cfg.n_mdct_lines
-    lead = words.shape[:-1]                              # [C, F]
-    wf = words.reshape(-1, words.shape[-1])
     k = wf.shape[0]
 
     head_off = jnp.concatenate([jnp.zeros(1, jnp.int32),
@@ -343,8 +337,40 @@ def _decode_clip_packed_impl(words, cfg: CodecConfig, t: int):
     m_end = jnp.cumsum(m_line, axis=1)
     mant = read_fields(wf, (s + a * nb) + sf_end[:, -1:] + (m_end - m_line),
                        m_line)
+    return FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf, mant=mant)
 
-    code = FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf, mant=mant)
+
+@partial(jax.jit, static_argnums=(1,))
+def _decode_frames_packed(words, cfg: CodecConfig):
+    """uint32[..., W32] raw payload rows → [..., 2H] frame audio (no
+    overlap-add — the streaming decoder carries the tail as state)."""
+    c = make_consts(cfg)
+    lead = words.shape[:-1]
+    code = _unpack_raw_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
+    return y.reshape(*lead, 2 * cfg.n_mdct_lines)
+
+
+@partial(jax.jit, static_argnums=(1,))
+def _decode_frames_vbr(words, cfg: CodecConfig):
+    """uint32[..., W32] VBR payload rows → [..., 2H] frame audio."""
+    c = make_consts(cfg)
+    lead = words.shape[:-1]
+    code = _unpack_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
+    y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)
+    return y.reshape(*lead, 2 * cfg.n_mdct_lines)
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def _decode_clip_packed_impl(words, cfg: CodecConfig, t: int):
+    """words: uint32[C, F, W32] payload rows → [C, T] audio, fully fused:
+    on-device unpack (gathers) → dequantize → IMDCT → overlap-add. Only
+    the payload words cross the host→device link (decode mirror of
+    _encode_packed_leading; raw fixed-rate layout, SPEC.md §7)."""
+    c = make_consts(cfg)
+    h = cfg.n_mdct_lines
+    lead = words.shape[:-1]                              # [C, F]
+    code = _unpack_raw_fields(words.reshape(-1, words.shape[-1]), cfg, c)
     y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
     return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
 

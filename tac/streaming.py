@@ -225,3 +225,115 @@ class StreamEncoder:
         st.blocks_out += m
         return dbp.rows_to_stream(np.asarray(words)[:, :m].swapaxes(0, 1),
                                   np.asarray(nbits)[:, :m].swapaxes(0, 1))
+
+
+class StreamDecoder:
+    """Push PAC-T payload bytes in, get PCM out — the decode mirror of
+    StreamEncoder (the reference has no streaming decode at all; its
+    ``ReadDataBlock`` loop is file-at-a-time, SURVEY.md §3.2).
+
+    Frames decode through the SAME device cores as the offline packed
+    decode (field unpack → dequantize → IMDCT), batched per push with
+    power-of-two frame buckets; the overlap-add's one-half-frame coupling
+    is the only carried state (``tail``, [C, H]). Algorithmic delay is
+    therefore exactly one half-block: frame i's arrival finalizes output
+    samples [(i-1)·H, i·H).
+    """
+
+    def __init__(self, cfg: CodecConfig, num_samples: int = 0):
+        self.cfg = cfg
+        self.num_samples = int(num_samples)   # 0 = unknown (emit everything)
+        self.buf = b""
+        self.tail: Optional[np.ndarray] = None    # [C, H] carried half
+        self.frames_in = 0
+        self.emitted = 0
+
+    @classmethod
+    def from_header(cls, data: bytes, precision: str = "fast"
+                    ) -> tuple["StreamDecoder", int]:
+        """Parse a PAC-T header → (decoder, payload offset). Feed
+        ``data[offset:]`` (and any later bytes) to push()."""
+        from tac import api, bitstream as bs
+
+        hdr, off = bs.read_header(data)
+        return cls(api.header_config(hdr, precision), hdr.num_samples), off
+
+    # ------------------------------------------------------------ internal --
+
+    def _w32(self) -> int:
+        from tac import codec
+
+        cfg = self.cfg
+        if cfg.use_block_switch:
+            from tac import blockswitch as bsw
+            cap = (bsw.capacity_bits_bs_vbr(cfg) if cfg.use_huffman
+                   else bsw.capacity_bits_bs(cfg))
+        else:
+            cap = codec.payload_capacity_bits(cfg)
+        return -(-cap // 32)
+
+    def _frame_decoder(self):
+        from tac import codec
+
+        if self.cfg.use_block_switch:
+            from tac import blockswitch as bsw
+            return (bsw._decode_frames_bs_vbr if self.cfg.use_huffman
+                    else bsw._decode_frames_bs)
+        return (codec._decode_frames_vbr if self.cfg.use_huffman
+                else codec._decode_frames_packed)
+
+    # -------------------------------------------------------------- public --
+
+    def push(self, data: bytes) -> np.ndarray:
+        """data: next stream bytes (any chunking) → float32[T', C] newly
+        finalized samples (empty until a full frame × channels arrives)."""
+        import struct
+
+        import jax.numpy as jnp
+
+        from tac.native import CorruptStreamError
+        from tac.ops import bitpack as dbp
+
+        self.buf += data
+        cfg = self.cfg
+        c, h = cfg.n_channels, cfg.n_mdct_lines
+        offs, lens, pos = [], [], 0
+        while len(self.buf) - pos >= 2:
+            (ln,) = struct.unpack_from("<H", self.buf, pos)
+            if pos + 2 + ln > len(self.buf):
+                break
+            offs.append(pos + 2)
+            lens.append(ln)
+            pos += 2 + ln
+        m = len(offs) // c
+        if m == 0:
+            return np.zeros((0, c), np.float32)
+        consumed = offs[m * c - 1] + lens[m * c - 1]
+        w32 = self._w32()
+        if max(lens[: m * c]) * 8 > w32 * 32:
+            raise CorruptStreamError("block length exceeds frame capacity")
+        rows = dbp.stream_to_rows(self.buf,
+                                  np.asarray(offs[: m * c], np.int64),
+                                  np.asarray(lens[: m * c], np.int64), w32)
+        self.buf = self.buf[consumed:]
+        words = np.ascontiguousarray(
+            rows.reshape(m, c, w32).swapaxes(0, 1))       # [C, M, W32]
+        mb = _bucket(m)
+        wp = jnp.asarray(np.pad(words, ((0, 0), (0, mb - m), (0, 0))))
+        y = np.asarray(self._frame_decoder()(wp, cfg))[:, :m]  # [C, m, 2H]
+        self.frames_in += m
+
+        firsts, seconds = y[..., :h], y[..., h:]
+        if self.tail is None:                 # frame 0 is the priming block
+            self.tail = seconds[:, 0]
+            firsts, seconds = firsts[:, 1:], seconds[:, 1:]
+            m -= 1
+            if m == 0:
+                return np.zeros((0, c), np.float32)
+        prev = np.concatenate([self.tail[:, None], seconds[:, :-1]], axis=1)
+        self.tail = seconds[:, -1].copy()
+        out = (firsts + prev).reshape(c, m * h).T.astype(np.float32)
+        if self.num_samples:
+            out = out[: max(self.num_samples - self.emitted, 0)]
+        self.emitted += out.shape[0]
+        return out

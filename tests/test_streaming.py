@@ -91,3 +91,77 @@ def test_stream_decodable(clip):
     assert fs2 == fs
     err = x - y[: len(x), 0]
     assert 10 * np.log10(np.mean(x ** 2) / np.mean(err ** 2)) > 12
+
+
+@pytest.mark.parametrize("preset", ["stereo44-128", "vbr-huffman",
+                                    "streaming-ll", "vbr-bs"])
+def test_stream_decode_equals_offline(preset, clip):
+    """StreamDecoder under random byte chunking reproduces the offline
+    decode_array output (same device cores, so only batch-shape float
+    ulps separate them) with the full sample count."""
+    from tac.streaming import StreamDecoder
+    x, fs = clip
+    cfg = PRESETS[preset].replace(n_channels=1, sample_rate=fs,
+                                  precision="fast")
+    data = api.encode_array(x, cfg)
+    y_off, _ = api.decode_array(data, precision="fast")
+    dec, off = StreamDecoder.from_header(data)
+    rng = np.random.default_rng(3)
+    outs, pos = [], off
+    while pos < len(data):
+        step = int(rng.integers(1, 1500))
+        outs.append(dec.push(data[pos:pos + step]))
+        pos += step
+    y_st = np.concatenate(outs, 0)
+    assert y_st.shape == y_off.shape
+    np.testing.assert_allclose(y_st, y_off, atol=2e-5)
+
+
+def test_stream_decode_latency_one_half_block(clip):
+    """Frame i's bytes finalize exactly samples [(i-1)H, iH): after k full
+    frames the decoder has emitted (k-1)*H samples, never more."""
+    from tac import bitstream as bs
+    from tac.streaming import StreamDecoder
+    x, fs = clip
+    cfg = PRESETS["streaming-ll"].replace(n_channels=1, sample_rate=fs,
+                                          precision="fast")
+    h = cfg.n_mdct_lines
+    data = api.encode_array(x, cfg)
+    dec, off = StreamDecoder.from_header(data)
+    from tac.dsp.mdct import num_frames
+    hdr, _ = bs.read_header(data)
+    f = num_frames(hdr.num_samples, h)
+    offs, lens = bs.split_blocks(data, off, f)     # mono: 1 block per frame
+    got = 0
+    for i in range(min(f, 6)):
+        chunk = data[offs[i] - 2: offs[i] + lens[i]]
+        got += dec.push(chunk).shape[0]
+        expect = min(max(i, 0) * h, hdr.num_samples)
+        assert got == expect, (i, got, expect)
+
+
+def test_stream_decode_live_pipeline(clip):
+    """Encoder → decoder chained push-by-push: the end-to-end streamed
+    round trip matches the offline round trip."""
+    from tac.streaming import StreamDecoder
+    x, fs = clip
+    cfg = PRESETS["streaming-ll"].replace(n_channels=1, sample_rate=fs,
+                                          precision="fast")
+    enc = StreamEncoder(cfg, n_channels=1)
+    dec = None
+    outs = []
+    i = 0
+    rng = np.random.default_rng(9)
+    while i < len(x):
+        n = int(rng.integers(200, 2000))
+        by = enc.push(x[i:i + n])
+        i += n
+        if dec is None:
+            dec, off = StreamDecoder.from_header(enc.header(len(x)) + by)
+            by = (enc.header(len(x)) + by)[off:]
+        outs.append(dec.push(by))
+    outs.append(dec.push(enc.flush()))
+    y_st = np.concatenate(outs, 0)
+    y_off, _ = api.decode_array(api.encode_array(x, cfg), precision="fast")
+    assert y_st.shape == y_off.shape
+    np.testing.assert_allclose(y_st, y_off, atol=2e-5)
