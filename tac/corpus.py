@@ -281,15 +281,17 @@ class CorpusDecoder:
         for i, (_, _, rows) in enumerate(staged):
             words[i, :, : rows.shape[1]] = rows
         t_pad = (f_pad - 1) * h
+        # pcm16: quantize on device — the PCM pull dominates full-path
+        # decode on link-bound hosts, and the output is 16-bit WAV anyway
         if self.mesh is not None:
             y = parallel.decode_batch_packed_sharded(
                 parallel.shard_clips(jnp.asarray(words), self.mesh),
-                cfg, t_pad, self.mesh)
+                cfg, t_pad, self.mesh, pcm16=True)
         else:
             y = parallel.decode_batch_packed(jax.device_put(words), cfg,
-                                             t_pad)
+                                             t_pad, pcm16=True)
         y_np = np.asarray(y)
-        return [y_np[i, :, : hdr.num_samples].T.astype(np.float32)
+        return [np.ascontiguousarray(y_np[i, :, : hdr.num_samples].T)
                 for i, hdr in enumerate(hdrs)]
 
     def run(self, pac_paths: Sequence[str], log=print) -> dict:

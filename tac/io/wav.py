@@ -53,11 +53,15 @@ def read_wav(path: str) -> tuple[np.ndarray, int]:
 
 
 def write_wav(path: str, x: np.ndarray, fs: int) -> None:
-    """Write float[T, C] (or [T]) in [-1, 1] as 16-bit PCM WAV."""
+    """Write float[T, C] (or [T]) in [-1, 1] — or already-quantized
+    int16 PCM (e.g. device-side pcm16 decode output) — as 16-bit WAV."""
     x = np.asarray(x)
     if x.ndim == 1:
         x = x[:, None]
-    pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
+    if x.dtype == np.int16:
+        pcm = x.astype("<i2")
+    else:
+        pcm = np.clip(np.round(x * 32768.0), -32768, 32767).astype("<i2")
     with wave.open(path, "wb") as w:
         w.setnchannels(x.shape[1])
         w.setsampwidth(2)

@@ -206,19 +206,30 @@ def _packed_decode_impl(cfg: CodecConfig):
             else codec._decode_clip_packed_impl)
 
 
-def decode_batch_packed(words, cfg: CodecConfig, t: int, huffman=None):
+@jax.jit
+def _to_pcm16(y):
+    """Device-side 16-bit PCM quantize (same rounding as tac.io.wav):
+    halves the device→host PCM transfer, which dominates full-path decode
+    on link-bound hosts — the consumer writes 16-bit WAV anyway."""
+    return jnp.clip(jnp.round(y * 32768.0), -32768, 32767).astype(jnp.int16)
+
+
+def decode_batch_packed(words, cfg: CodecConfig, t: int, huffman=None,
+                        pcm16: bool = False):
     """Batched packed decode, the mirror of encode_batch_packed: staged
     payload rows uint32[B, C, F, W32] → [B, C, T] in one fused graph.
     Batching amortizes per-call dispatch + transfer latency exactly as it
     does on encode. The family comes from cfg (use_huffman /
-    use_block_switch); `huffman` is accepted for call-site symmetry."""
+    use_block_switch); `huffman` is accepted for call-site symmetry.
+    pcm16=True converts to int16 on device before the pull."""
     if huffman is not None:
         cfg = cfg.replace(use_huffman=huffman)
-    return _packed_decode_impl(cfg)(words, cfg, t)
+    y = _packed_decode_impl(cfg)(words, cfg, t)
+    return _to_pcm16(y) if pcm16 else y
 
 
 def decode_batch_packed_sharded(words, cfg: CodecConfig, t: int, mesh: Mesh,
-                                huffman=None):
+                                huffman=None, pcm16: bool = False):
     """Corpus packed decode over the mesh clips axis: each device unpacks
     and decodes its clip shard; only payload words go up, PCM comes back
     sharded. words: uint32[B, C, F, W32], B divisible by the clips axis."""
@@ -229,7 +240,8 @@ def decode_batch_packed_sharded(words, cfg: CodecConfig, t: int, mesh: Mesh,
     @partial(shard_map, mesh=mesh, in_specs=P("clips"),
              out_specs=P("clips"), check_vma=False)
     def run(ws):
-        return impl.__wrapped__(ws, cfg, t)
+        y = impl.__wrapped__(ws, cfg, t)
+        return _to_pcm16(y) if pcm16 else y
 
     return jax.jit(run)(words)
 

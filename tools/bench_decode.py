@@ -99,8 +99,10 @@ def main() -> None:
                 r2 = dbp.stream_to_rows(d, of2, ln2, w32)
                 ws.append(r2.reshape(f, c, w32).swapaxes(0, 1))
             wb = jnp.asarray(np.ascontiguousarray(np.stack(ws)))
+            # pcm16: device-side int16 quantize halves the PCM pull, the
+            # dominant transfer on this link (the corpus decoder's path)
             return np.asarray(parallel.decode_batch_packed(
-                wb, dcfg, hdr.num_samples))
+                wb, dcfg, hdr.num_samples, pcm16=True))
 
         batched_decode()                             # compile warm
         t0 = time.perf_counter()
