@@ -65,3 +65,21 @@ import pytest  # noqa: E402
 @pytest.fixture(scope="session")
 def rng():
     return np.random.default_rng(422)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jit_arena():
+    """Drop compiled executables between test modules.
+
+    The full suite compiles hundreds of XLA:CPU programs in one process;
+    with all of them resident, the LLVM JIT eventually segfaults inside
+    backend_compile_and_load on the largest program (the huffman x
+    blockswitch encode scan) — deterministic at ~150 tests in, and gone
+    when the same test runs standalone. Keeping the JIT arena small
+    between modules trades some recompilation for not crashing."""
+    yield
+    try:
+        import jax
+        jax.clear_caches()
+    except Exception:
+        pass
