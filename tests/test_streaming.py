@@ -165,3 +165,19 @@ def test_stream_decode_live_pipeline(clip):
     y_off, _ = api.decode_array(api.encode_array(x, cfg), precision="fast")
     assert y_st.shape == y_off.shape
     np.testing.assert_allclose(y_st, y_off, atol=2e-5)
+
+
+def test_stream_decode_rejects_oversize_block(clip):
+    """A length prefix larger than the frame capacity must raise a clear
+    corrupt-stream error, not decode garbage."""
+    import struct
+    from tac.native import CorruptStreamError
+    from tac.streaming import StreamDecoder
+    x, fs = clip
+    cfg = PRESETS["stereo44-128"].replace(n_channels=1, sample_rate=fs,
+                                          precision="fast")
+    data = api.encode_array(x, cfg)
+    dec, off = StreamDecoder.from_header(data)
+    bogus = struct.pack("<H", 0xFFF0) + b"\x00" * 0xFFF0
+    with pytest.raises(CorruptStreamError):
+        dec.push(bogus)
