@@ -137,9 +137,11 @@ def _bench_main() -> None:
     from tac.config import PRESETS
 
     cfg = PRESETS["stereo44-128"]                   # precision="fast"
-    # sized so the host->device upload stays ~20 MB (the remote-TPU tunnel
-    # in this box is unreliable for single transfers much larger than that)
-    b = int(os.environ.get("TAC_BENCH_CLIPS", "8"))
+    # staged as per-clip ~5 MB uploads (the remote-TPU tunnel in this box
+    # is unreliable for single transfers much larger than ~20 MB); 16
+    # clips measured best full-path on this link (8: 565, 16: 624,
+    # 32: 628 audio-sec/s — host pack becomes the limiter past 16)
+    b = int(os.environ.get("TAC_BENCH_CLIPS", "16"))
     secs = float(os.environ.get("TAC_BENCH_SECONDS", "15"))
     x = make_clips(b=b, seconds=secs, fs=cfg.sample_rate)
     tac_tput, dev_tput = bench_tac(x, cfg)
