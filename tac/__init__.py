@@ -28,11 +28,15 @@ if _os.environ.get("TAC_COMPILE_CACHE"):
                        _os.environ["TAC_COMPILE_CACHE"])
     _jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-_API = ("encode", "decode", "encode_array", "decode_array")
+_API = {"encode": "tac.api", "decode": "tac.api",
+        "encode_array": "tac.api", "decode_array": "tac.api",
+        "StreamEncoder": "tac.streaming", "StreamDecoder": "tac.streaming",
+        "StreamState": "tac.streaming",
+        "CorpusTranscoder": "tac.corpus", "CorpusDecoder": "tac.corpus"}
 
 
 def __getattr__(name):  # lazy: avoid importing jax-heavy modules for config-only use
     if name in _API:
-        from tac import api
-        return getattr(api, name)
+        import importlib
+        return getattr(importlib.import_module(_API[name]), name)
     raise AttributeError(name)
