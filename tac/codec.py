@@ -99,14 +99,8 @@ def _smr_input(frame, lines, cfg: CodecConfig, c: CodecConsts):
     return jnp.zeros(bands.N_BANDS, c.dtype)  # uniform
 
 
-def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
-                 budget=None) -> FrameCode:
-    """frame: [N] time samples (unwindowed) → FrameCode. Pure, vmappable.
-
-    budget: optional traced int32 override of the static per-frame mantissa
-    budget (used by the VBR bit-reservoir scan, SPEC.md §8).
-    """
-    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+def analyze_frame(frame, cfg: CodecConfig, c: CodecConsts):
+    """frame: [N] time samples (unwindowed) → (mdct lines [H], smr [B])."""
     with jax.named_scope("tac.mdct"):
         if cfg.precision == "parity":
             lines = fb.mdct_fft(frame * c.window, c.window.shape[0] // 2)
@@ -116,6 +110,17 @@ def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
 
     with jax.named_scope("tac.psy"):
         smr = _smr_input(frame, lines, cfg, c)
+    return lines, smr
+
+
+def encode_frame(frame, cfg: CodecConfig, c: CodecConsts,
+                 budget=None) -> FrameCode:
+    """frame: [N] time samples (unwindowed) → FrameCode. Pure, vmappable.
+
+    budget: optional traced int32 override of the static per-frame mantissa
+    budget (used by the VBR bit-reservoir scan, SPEC.md §8).
+    """
+    lines, smr = analyze_frame(frame, cfg, c)
     return quantize_lines(lines, smr, cfg, c, budget)
 
 
@@ -126,14 +131,19 @@ def quantize_lines(lines, smr, cfg: CodecConfig, c: CodecConsts,
     Shared by the long path, the block-switch sub-block path, and the VBR
     scan. Integer-exact given identical float inputs (SPEC §10 item 1).
     """
-    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    nb = c.n_lines.shape[0]
-    ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     with jax.named_scope("tac.bitalloc"):
         alloc = ba.allocate(smr, c.n_lines,
                             c.budget if budget is None else budget,
                             cfg.alloc_mode, cfg.max_mant_bits)
+    return quantize_given_alloc(lines, alloc, cfg, c)
 
+
+def quantize_given_alloc(lines, alloc, cfg: CodecConfig,
+                         c: CodecConsts) -> FrameCode:
+    """lines + final per-band allocation → FrameCode (SPEC §4, §6)."""
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = c.n_lines.shape[0]
+    ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))
     band_max = jax.ops.segment_max(jnp.abs(scaled), c.band_of_line,
@@ -174,17 +184,58 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 1024))
 
 
+def _use_pallas_alloc(cfg: CodecConfig) -> bool:
+    """Gate for the Pallas water-fill kernel (tac/ops/pallas_alloc.py):
+    fast-precision rows on a real TPU backend (the kernel is f32; parity
+    mode stays on the f64 XLA loop). TAC_PALLAS_ALLOC=0 disables — read
+    at TRACE time (set it before the first encode; an already-jitted
+    config won't retrace on a later env change)."""
+    import os
+
+    if cfg.precision == "parity" or os.environ.get("TAC_PALLAS_ALLOC") == "0":
+        return False
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def _encode_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
+    """[M, N] frame rows → FrameCode [M, ...]: one fused program. On TPU
+    fast paths the allocation while_loop runs as one Pallas kernel over
+    the whole row block (launch-latency-bound otherwise, PERF.md)."""
+    if not _use_pallas_alloc(cfg):
+        return jax.vmap(lambda fr: encode_frame(fr, cfg, c))(frames_chunk)
+    from tac.ops.pallas_alloc import water_fill_rows
+
+    lines, smr = jax.vmap(lambda fr: analyze_frame(fr, cfg, c))(frames_chunk)
+    smr_eff = jnp.zeros_like(smr) if cfg.alloc_mode == "uniform" else smr
+    smr_q = ba.snap_smr(smr_eff)
+    if ba._USE_WARM_START:
+        a0, r0 = jax.vmap(lambda s: ba._warm_start(
+            s, c.n_lines, c.budget,
+            min(cfg.max_mant_bits, ba.MANT_MAX)))(smr_q)
+    else:
+        a0 = jnp.zeros(smr_q.shape, jnp.int32)
+        r0 = jnp.full(smr_q.shape[:1], c.budget, jnp.int32)
+    alloc = water_fill_rows(smr_q, c.n_lines, a0, r0,
+                            max_mant=cfg.max_mant_bits,
+                            nb=int(c.n_lines.shape[0]))
+    return jax.vmap(lambda l, al: quantize_given_alloc(l, al, cfg, c))(
+        lines, alloc)
+
+
 def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
     """frames_flat: [R, N] → FrameCode with [R, ...] leaves, computed in
     lax.map chunks of ENC_CHUNK rows."""
     r = frames_flat.shape[0]
     if r <= ENC_CHUNK:
-        return jax.vmap(lambda fr: encode_frame(fr, cfg, c))(frames_flat)
+        return _encode_rows_chunk(frames_flat, cfg, c)
     pad = (-r) % ENC_CHUNK
     fp = jnp.pad(frames_flat, ((0, pad), (0, 0)))
     chunks = fp.reshape(-1, ENC_CHUNK, fp.shape[-1])
     out = jax.lax.map(
-        lambda fc: jax.vmap(lambda fr: encode_frame(fr, cfg, c))(fc), chunks)
+        lambda fc: _encode_rows_chunk(fc, cfg, c), chunks)
     return jax.tree_util.tree_map(
         lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
 

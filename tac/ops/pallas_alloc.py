@@ -1,0 +1,162 @@
+"""Pallas TPU kernel for the greedy water-fill bit-allocation loop.
+
+Why a kernel: the allocation `lax.while_loop` is ~38% of encode device
+time (PERF.md) and is *launch-latency* bound — each iteration is a
+handful of small-tensor VPU ops over [rows, 25] that XLA schedules as
+separate fusions inside the loop body. Running the whole data-dependent
+loop inside one Pallas program keeps the state ([rows, 128] alloc/need
+tiles) VMEM-resident with no per-iteration scheduling overhead.
+
+Decision parity: the kernel replays tac.bitalloc.water_fill's decision
+chain bit-for-bit (same f32 DEC constants via select-sums instead of
+gathers, same strict comparisons, same tie-breaks: grant argmax ties to
+the LOWEST band, lone-bit freeze picks the HIGHEST band), so its
+allocations equal the XLA path exactly — asserted against water_fill in
+tests/test_pallas_alloc.py and fuzzed vs the serial oracle.
+
+The multi-grant count uses an index-domain reformulation: ahead(j) is
+monotone in j, so the leading-run length equals
+  k = #{ m : alloc_b <= m < max_mant,  smr_b - DEC[m] > need2 },
+which unrolls over the 17 static DEC constants with no table lookup.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tac.bitalloc import DEC_TABLE, MANT_MAX
+
+LANES = 128          # band axis padded to one VPU lane group
+ROW_BLK = 256        # rows per grid program
+
+
+def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
+            max_mant: int, nb: int):
+    dec32 = [np.float32(v) for v in DEC_TABLE]      # same constants as XLA
+    neg = jnp.float32(-np.inf)
+    smr = smr_ref[:]                                 # [RB, 128] f32
+    n_lines = nl_ref[:]                              # [RB, 128] i32 (bcast)
+    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, 1)
+    pad = band >= nb                                 # padded lanes: inert
+    valid_band = (n_lines > 0) & ~pad
+
+    def dec_of(alloc):
+        """DEC_TABLE[alloc] as a select-sum over the 17 f32 constants."""
+        d = jnp.zeros_like(smr)
+        for k in range(MANT_MAX + 1):
+            d = jnp.where(alloc == k, dec32[k], d)
+        return d
+
+    def body(state):
+        alloc, rem, frozen, _ = state
+        need = smr - dec_of(alloc)
+        eligible = (frozen == 0) & (alloc < max_mant) & valid_band \
+            & (n_lines <= rem)
+        any_grant = jnp.any(eligible, axis=1, keepdims=True)     # [RB, 1]
+
+        # ---- grant branch: argmax need, ties -> lowest band index
+        masked = jnp.where(eligible, need, neg)
+        mx = jnp.max(masked, axis=1, keepdims=True)
+        at_max = eligible & (masked == mx)
+        bsel = jnp.min(jnp.where(at_max, band, LANES), axis=1,
+                       keepdims=True)                            # [RB, 1]
+        onehot = band == bsel                                    # [RB, 128]
+        pick = lambda a, zero: jnp.sum(jnp.where(onehot, a, zero),
+                                       axis=1, keepdims=True)
+        n_b = pick(n_lines, 0)
+        smr_b = pick(smr, jnp.float32(0.0))
+        alloc_b = pick(alloc, 0)
+        need2 = jnp.max(jnp.where(eligible & ~onehot, need, neg),
+                        axis=1, keepdims=True)
+        # multi-grant: k = #{m in [alloc_b, max_mant) : smr_b - DEC[m] > need2}
+        k = jnp.zeros_like(alloc_b)
+        for m in range(max_mant):
+            k = k + ((m >= alloc_b) & (smr_b - dec32[m] > need2)
+                     ).astype(jnp.int32)
+        k = jnp.minimum(k, max_mant - alloc_b)
+        k = jnp.minimum(k, rem // jnp.maximum(n_b, 1))
+        k = jnp.maximum(k, 1)
+        g_alloc = alloc + jnp.where(onehot, k, 0)
+        g_rem = rem - k * n_b
+
+        # ---- freeze branch: highest lone-1-bit band
+        lone = (alloc == 1) & (frozen == 0) & ~pad
+        any_lone = jnp.any(lone, axis=1, keepdims=True)
+        hisel = jnp.max(jnp.where(lone, band, -1), axis=1, keepdims=True)
+        fhot = lone & (band == hisel)
+        f_alloc = jnp.where(fhot, 0, alloc)
+        f_rem = rem + jnp.sum(jnp.where(fhot, n_lines, 0), axis=1,
+                              keepdims=True)
+        f_frozen = jnp.where(fhot, 1, frozen)
+
+        done = (~any_grant) & (~any_lone)
+        # explicit i32: under jax_enable_x64 the python-int literals above
+        # would otherwise promote the carry to i64 and break the while_loop
+        alloc = jnp.where(any_grant, g_alloc,
+                          jnp.where(any_lone, f_alloc, alloc)
+                          ).astype(jnp.int32)
+        rem = jnp.where(any_grant, g_rem,
+                        jnp.where(any_lone, f_rem, rem)).astype(jnp.int32)
+        frozen = jnp.where(any_grant, frozen,
+                           jnp.where(any_lone, f_frozen, frozen)
+                           ).astype(jnp.int32)
+        return alloc, rem, frozen, jnp.all(done)
+
+    # frozen carried as i32 0/1: Mosaic rejects i1 vector stores/selects
+    state = (alloc0_ref[:], rem0_ref[:],
+             jnp.zeros_like(alloc0_ref[:]), jnp.asarray(False))
+    alloc, _, _, _ = jax.lax.while_loop(lambda s: ~s[3], body, state)
+    out_ref[:] = alloc
+
+
+@functools.partial(jax.jit,
+                   static_argnames=("max_mant", "nb", "interpret"))
+def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
+                    nb: int, interpret: bool = False):
+    """Batched greedy water-fill: the while_loop phase of
+    tac.bitalloc.water_fill over a whole row block in one kernel.
+
+    smr_q:  f32[R, B] grid-snapped SMRs
+    n_lines: i32[B]
+    alloc0: i32[R, B], rem0: i32[R] — the warm-start state
+    Returns i32[R, B] final allocations (== jax.vmap(water_fill) exactly).
+    """
+    r, b = smr_q.shape
+    rp = -(-r // ROW_BLK) * ROW_BLK
+    grid = rp // ROW_BLK
+    # padded rows: rem0 = 0 and smr = -inf -> nothing eligible, no lone
+    smr_p = jnp.full((rp, LANES), -jnp.inf, jnp.float32)
+    smr_p = smr_p.at[:r, :b].set(smr_q.astype(jnp.float32))
+    nl_p = jnp.zeros((1, LANES), jnp.int32).at[0, :b].set(
+        jnp.asarray(n_lines, jnp.int32))
+    nl_p = jnp.broadcast_to(nl_p, (rp, LANES))
+    a0_p = jnp.zeros((rp, LANES), jnp.int32).at[:r, :b].set(
+        alloc0.astype(jnp.int32))
+    rem_p = jnp.zeros((rp, 1), jnp.int32).at[:r, 0].set(
+        rem0.astype(jnp.int32))
+
+    out = pl.pallas_call(
+        functools.partial(_kernel, max_mant=min(max_mant, MANT_MAX), nb=b),
+        out_shape=jax.ShapeDtypeStruct((rp, LANES), jnp.int32),
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((ROW_BLK, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(smr_p, nl_p, a0_p, rem_p)
+    return out[:r, :b]
