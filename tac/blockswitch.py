@@ -141,12 +141,10 @@ def window_states(t_flags, f: int):
 
 # ----------------------------------------------------------------- encode ---
 
-def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts,
-                    budget=None) -> BsFrameCode:
-    """frame: [N] (unwindowed), state: [] int32 → both encodings.
-
-    budget: optional traced int32 override of the static per-frame mantissa
-    budget (the VBR bit-reservoir scan in the huffman combo, SPEC.md §8)."""
+def analyze_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts):
+    """frame: [N] (unwindowed), state: [] int32 → the budget-independent
+    analysis half: (long lines [H], long smr [B], grouped-short lines
+    [K*Hs·...] flattened, short smr [B])."""
     w = c.state_windows[state]
     if cfg.precision == "parity":
         lines_l = fb.mdct_fft(frame * w, c.cl.window.shape[0] // 2)
@@ -158,7 +156,6 @@ def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts,
                                   mdct_gain=c.state_gain[state])
     else:
         smr_l = jnp.zeros(bands.N_BANDS, c.cl.dtype)
-    code_l = codec_mod.quantize_lines(lines_l, smr_l, cfg, c.cl, budget)
 
     sub = frame[c.sub_idx]                               # [K, 2Hs]
     if cfg.precision == "parity":
@@ -172,8 +169,18 @@ def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts,
         smr_s = jnp.max(smr_s, axis=0)                   # group: worst case
     else:
         smr_s = jnp.zeros(bands.N_BANDS, c.cg.dtype)
-    code_s = codec_mod.quantize_lines(lines_s.reshape(-1), smr_s, cfg, c.cg,
-                                      budget)
+    return lines_l, smr_l, lines_s.reshape(-1), smr_s
+
+
+def encode_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts,
+                    budget=None) -> BsFrameCode:
+    """frame: [N] (unwindowed), state: [] int32 → both encodings.
+
+    budget: optional traced int32 override of the static per-frame mantissa
+    budget (the VBR bit-reservoir scan in the huffman combo, SPEC.md §8)."""
+    lines_l, smr_l, lines_s, smr_s = analyze_frame_bs(frame, state, cfg, c)
+    code_l = codec_mod.quantize_lines(lines_l, smr_l, cfg, c.cl, budget)
+    code_s = codec_mod.quantize_lines(lines_s, smr_s, cfg, c.cg, budget)
     return BsFrameCode(state=state, long=code_l, short=code_s)
 
 
@@ -295,9 +302,17 @@ def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
     base = jnp.asarray(c.cl.budget, jnp.int32)
     cap = jnp.asarray(cfg.reservoir_factor * c.cl.budget, jnp.int32)
 
+    # hoist the budget-independent analysis (MDCT long+short, psy) out of
+    # the serial reservoir chain as one batched vmap — same ops, bit-exact
+    ll, sl, ls, ss = jax.vmap(
+        lambda fr, st: analyze_frame_bs(fr, st, cfg, c))(frames_1ch,
+                                                         states_1ch)
+
     def step(res, xs):
-        frame, state = xs
-        bc = encode_frame_bs(frame, state, cfg, c, budget=base + res)
+        state, lln, sln, lsn, ssn = xs
+        code_l = codec_mod.quantize_lines(lln, sln, cfg, c.cl, base + res)
+        code_s = codec_mod.quantize_lines(lsn, ssn, cfg, c.cg, base + res)
+        bc = BsFrameCode(state=state, long=code_l, short=code_s)
         code, m_line = select_code_bs(bc, c)
         raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
         table_id = (huf < raw).astype(jnp.int32)
@@ -306,7 +321,7 @@ def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
         return res2, (bc, table_id, res2)
 
     _, (bcs, tids, res_steps) = jax.lax.scan(
-        step, jnp.asarray(res0, jnp.int32), (frames_1ch, states_1ch))
+        step, jnp.asarray(res0, jnp.int32), (states_1ch, ll, sl, ls, ss))
     return bcs, tids, res_steps
 
 

@@ -575,8 +575,15 @@ def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
     base = jnp.asarray(c.budget, jnp.int32)
     cap = jnp.asarray(cfg.reservoir_factor * c.budget, jnp.int32)
 
-    def step(res, frame):
-        code = encode_frame(frame, cfg, c, budget=base + res)
+    # the analysis half (window+MDCT+psy) is frame-independent: hoist it
+    # out of the scan as one batched vmap (MXU-friendly) so the serial
+    # reservoir chain carries only the decision half — same ops, same
+    # floats, bit-exact vs running encode_frame inside the step
+    lines, smr = jax.vmap(lambda fr: analyze_frame(fr, cfg, c))(frames_1ch)
+
+    def step(res, xs):
+        ln, sm = xs
+        code = quantize_lines(ln, sm, cfg, c, budget=base + res)
         m_line = ba.code_to_alloc(code.alloc_code)[c.band_of_line]
         raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
         table_id = (huf < raw).astype(jnp.int32)
@@ -585,7 +592,7 @@ def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
         return res2, (code, table_id, used, res2)
 
     _, (codes, tids, used, res_steps) = jax.lax.scan(
-        step, jnp.asarray(res0, jnp.int32), frames_1ch)
+        step, jnp.asarray(res0, jnp.int32), (lines, smr))
     return codes, tids, used, res_steps
 
 

@@ -58,11 +58,13 @@ def main() -> None:
     iters = 10
     for name, cfg in ablations.items():
         w, n = codec.encode_clip_packed(x, cfg)
-        jax.block_until_ready((w, n))
+        np.asarray(n)
         t0 = time.perf_counter()
         for _ in range(iters):
             w, n = codec.encode_clip_packed(x, cfg)
-            jax.block_until_ready(n)
+            # np.asarray, not block_until_ready: on the axon remote
+            # backend only a real fetch fences the execution
+            np.asarray(n)
         dt = (time.perf_counter() - t0) / iters
         out[name + "_ms"] = round(dt * 1e3, 2)
         out[name + "_aps"] = round(secs / dt, 1)
@@ -70,7 +72,7 @@ def main() -> None:
     if os.environ.get("TAC_TRACE_DIR"):
         with jax.profiler.trace(os.environ["TAC_TRACE_DIR"]):
             w, n = codec.encode_clip_packed(x, base)
-            jax.block_until_ready(n)
+            np.asarray(n)
     print(json.dumps(out))
 
 
