@@ -175,13 +175,14 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 
 # --------------------------------------------------------- chunked encode ---
 
-# Max frame-rows per compiled program instance. The v5e-via-tunnel backend
-# in this box faults (UNAVAILABLE) on the fused psy+alloc graph at ~1.7k
-# rows per program; 1024 is measured-good (and 39% faster than 512 — less
-# chunk-scan overhead). lax.map also keeps memory bounded for arbitrarily
-# long clips/batches (SURVEY.md §5.7). Override with TAC_ENC_CHUNK on
-# healthy backends (larger chunks = fewer scan steps = higher throughput).
-ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 1024))
+# Max frame-rows per compiled program instance; lax.map chunks keep memory
+# bounded for arbitrarily long clips/batches (SURVEY.md §5.7). The old
+# gather-heavy psy graph faulted this box's backend at ~1.7k rows/program
+# (hence the former 1024 default); after the gather elimination and the
+# Pallas alloc kernel the leaner program runs fine and measures best at
+# 2048 (bench full path 731 -> 843 audio-sec/s; 4096 is slightly worse).
+# Override with TAC_ENC_CHUNK.
+ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 2048))
 
 
 def _use_pallas_alloc(cfg: CodecConfig) -> bool:
