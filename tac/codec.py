@@ -176,13 +176,13 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 # --------------------------------------------------------- chunked encode ---
 
 # Max frame-rows per compiled program instance; lax.map chunks keep memory
-# bounded for arbitrarily long clips/batches (SURVEY.md §5.7). The old
-# gather-heavy psy graph faulted this box's backend at ~1.7k rows/program
-# (hence the former 1024 default); after the gather elimination and the
-# Pallas alloc kernel the leaner program runs fine and measures best at
-# 2048 (bench full path 731 -> 843 audio-sec/s; 4096 is slightly worse).
-# Override with TAC_ENC_CHUNK.
-ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 2048))
+# bounded for arbitrarily long clips/batches (SURVEY.md §5.7). This box's
+# backend faults (worker crash) on programs past ~1.7k rows — even the
+# lean post-gather-elimination graph trips it INTERMITTENTLY at 2048
+# (measured faster when it survives: bench 843 vs 731 full), so the
+# default stays at the reliably-stable 1024. On healthy backends raise it
+# via TAC_ENC_CHUNK=2048.
+ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 1024))
 
 
 def _use_pallas_alloc(cfg: CodecConfig) -> bool:
