@@ -128,6 +128,9 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     Returns i32[R, B] final allocations (== jax.vmap(water_fill) exactly).
     """
     r, b = smr_q.shape
+    if b > LANES:
+        raise ValueError(f"water_fill_rows supports <= {LANES} bands, "
+                         f"got {b} (use the XLA water_fill loop)")
     rp = -(-r // ROW_BLK) * ROW_BLK
     grid = rp // ROW_BLK
     # padded rows: rem0 = 0 and smr = -inf -> nothing eligible, no lone
