@@ -168,3 +168,27 @@ def test_corpus_decode_mixed_families(corpus_dir):
         y_corp, _ = read_wav(str(out / name))
         ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
         np.testing.assert_allclose(y_corp, ref, atol=1.001 / 32768.0)
+
+
+def test_mesh_corpus_decode_matches_solo(corpus_dir):
+    """Mesh-sharded corpus decode == per-stream decode (8-device clips
+    axis, device-side int16 PCM)."""
+    import jax
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 virtual devices")
+    from tac import parallel
+    from tac.corpus import CorpusDecoder
+    tmp_path, paths = corpus_dir
+    pacs = _encode_corpus(tmp_path, paths, CFG, "enc_mesh")
+    mesh = parallel.make_mesh(n_clips=8, n_frames=1)
+    out = tmp_path / "dec_mesh"
+    stats = CorpusDecoder(str(out), batch_size=4, mesh=mesh).run(
+        pacs, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    from tac.io.wav import read_wav
+    for p in pacs:
+        y_solo, _ = api.decode_array(open(p, "rb").read(), precision="fast")
+        name = os.path.splitext(os.path.basename(p))[0] + ".wav"
+        y_corp, _ = read_wav(str(out / name))
+        ref = np.clip(np.round(y_solo * 32768.0), -32768, 32767) / 32768.0
+        np.testing.assert_allclose(y_corp, ref, atol=1.001 / 32768.0)
