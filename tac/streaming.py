@@ -325,7 +325,7 @@ class StreamDecoder:
 
         firsts, seconds = y[..., :h], y[..., h:]
         if self.tail is None:                 # frame 0 is the priming block
-            self.tail = seconds[:, 0]
+            self.tail = seconds[:, 0].copy()  # copy: don't pin the batch
             firsts, seconds = firsts[:, 1:], seconds[:, 1:]
             m -= 1
             if m == 0:
