@@ -262,7 +262,7 @@ class CorpusDecoder:
 
     def _decode_batch(self, staged: list) -> list[np.ndarray]:
         """staged: list of (hdr, cfg, rows [C, F_i, W32]) with one shared
-        cfg/W32 → per-clip [T_i, C] float32."""
+        cfg/W32 → per-clip int16[T_i, C] PCM (quantized on device)."""
         import jax
         import jax.numpy as jnp
 
