@@ -71,7 +71,7 @@ def _mdct_pallas(xp, basis, f_pad: int):
         _mdct_kernel,
         grid=(c, f_pad // TILE_F),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),       # x stays in HBM
+            pl.BlockSpec(memory_space=pl.ANY),          # x stays in HBM
             pl.BlockSpec((n, h_lines), lambda ch, i: (0, 0),
                          memory_space=pltpu.VMEM),      # basis resident
         ],
