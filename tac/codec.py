@@ -597,6 +597,178 @@ def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
     return codes, tids, used, res_steps
 
 
+# --------------------------------------- VBR lane-batched reservoir scan ---
+
+def _alloc_rows(smr, budgets, cfg: CodecConfig, c: CodecConsts):
+    """Batched greedy allocation: smr f[R, B], budgets int32[R] (traced) →
+    alloc int32[R, B]. The Pallas water-fill kernel on TPU fast paths,
+    the XLA while_loop otherwise — decisions identical (tests/
+    test_pallas_alloc.py)."""
+    if not _use_pallas_alloc(cfg):
+        return jax.vmap(lambda s_, bg: ba.allocate(
+            s_, c.n_lines, bg, cfg.alloc_mode, cfg.max_mant_bits))(
+            smr, budgets)
+    from tac.ops.pallas_alloc import water_fill_rows
+
+    smr_eff = jnp.zeros_like(smr) if cfg.alloc_mode == "uniform" else smr
+    smr_q = ba.snap_smr(smr_eff)
+    if ba._USE_WARM_START:
+        a0, r0 = jax.vmap(lambda s, bg: ba._warm_start(
+            s, c.n_lines, bg,
+            min(cfg.max_mant_bits, ba.MANT_MAX)))(smr_q, budgets)
+    else:
+        a0 = jnp.zeros(smr_q.shape, jnp.int32)
+        r0 = budgets.astype(jnp.int32)
+    return water_fill_rows(smr_q, c.n_lines, a0, r0,
+                           max_mant=cfg.max_mant_bits,
+                           nb=int(c.n_lines.shape[0]))
+
+
+def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
+    """Budget-independent half of VBR pricing, batched over frame rows.
+
+    The reservoir scan's step must price raw-vs-Huffman at the step's
+    allocation — but the mantissa a line would get at band allocation m
+    depends only on (lines, m): ovs, the scaled spectrum, and each band's
+    block-FP scale factor are all budget-free. So the per-band Huffman
+    cost at EVERY codable candidate m ∈ [MIN_M, MAX_M] is precomputed
+    here, in parallel, outside the serial chain; the step then prices an
+    allocation with a 7-way select over [B] bands (_vbr_price) instead of
+    quantizing + gathering over [H] lines per step.
+
+    lines f[R, H] → (bits_huf int32[R, B, 7] — coded band cost at m=2..8,
+    with cost = m·n_lines for non-codable m handled in _vbr_price).
+    Symbol cost lookups are select-sums over the ≤2^m static table
+    entries, not gathers (the TPU gather lesson, PERF.md).
+    """
+    from tac import huffman as hf
+
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = c.n_lines.shape[0]
+    ovs = jax.vmap(lambda l: quant.scale_factor(
+        jnp.max(jnp.abs(l)), s, a))(lines)                  # [R]
+    scaled = lines * jnp.exp2(ovs.astype(lines.dtype))[:, None]
+    band_max = jax.vmap(lambda sc: jax.ops.segment_max(
+        jnp.abs(sc), c.band_of_line, num_segments=nb))(scaled)
+    band_max = jnp.where(c.n_lines > 0, band_max, 0.0)      # [R, B]
+
+    cost_np = hf.cost_table_np()                            # [7, 256]
+    outs = []
+    for m in range(hf.MIN_M, hf.MAX_M + 1):
+        sf_m = quant.scale_factor(band_max, s, m)           # [R, B]
+        mant_m = quant.mantissa(scaled, sf_m[:, c.band_of_line], s, m)
+        row = cost_np[m - hf.MIN_M]
+        cost = jnp.zeros(mant_m.shape, jnp.int32)
+        for sym in range(1 << m):                           # select, no gather
+            cost = jnp.where(mant_m == sym, int(row[sym]), cost)
+        outs.append(jax.vmap(lambda cr: jax.ops.segment_sum(
+            cr, c.band_of_line, num_segments=nb))(cost))
+    return jnp.stack(outs, axis=-1)                         # [R, B, 7]
+
+
+def _vbr_price(alloc, bits_huf, c: CodecConsts):
+    """alloc int32[L, B], bits_huf int32[L, B, 7] → (raw, huf) int32[L].
+
+    Integer-identical to huffman.frame_mantissa_costs on the mantissas
+    quantize_given_alloc would emit at `alloc` (asserted via the byte-
+    parity suite): raw = Σ_b alloc·n_lines; huf swaps in the precomputed
+    coded band cost for codable allocations."""
+    from tac import huffman as hf
+
+    raw_b = alloc * c.n_lines                               # [L, B]
+    huf_b = raw_b                                           # non-codable: raw
+    for m in range(hf.MIN_M, hf.MAX_M + 1):
+        huf_b = jnp.where(alloc == m, bits_huf[..., m - hf.MIN_M], huf_b)
+    return jnp.sum(raw_b, -1), jnp.sum(huf_b, -1)
+
+
+def _map_row_chunks(fn, arrs, r: int):
+    """Apply fn(*row_chunks) over ENC_CHUNK-row chunks of [R, ...] arrays
+    (lax.map when R > ENC_CHUNK — the same program-size bound as
+    _encode_rows), concatenating the [chunk, ...] results back to [R, ...]."""
+    if r <= ENC_CHUNK:
+        return fn(*arrs)
+    pad = (-r) % ENC_CHUNK
+    chunks = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
+              .reshape(-1, ENC_CHUNK, *a.shape[1:]) for a in arrs]
+    out = jax.lax.map(lambda args: fn(*args), tuple(chunks))
+    return jax.tree_util.tree_map(
+        lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
+
+
+def _encode_vbr_lanes(frames, res0, cfg: CodecConfig, c: CodecConsts,
+                      cost_tab):
+    """Whole-clip VBR encode over independent lanes (channels and/or clips).
+
+    frames f[L, F, N], res0 int32[L] (or scalar) → (FrameCode [L, F, ...],
+    table_id [L, F], used [L, F], res_steps [L, F]) — byte-identical to
+    vmapping the serial per-channel scan _encode_channel_vbr over lanes
+    (asserted in tests/test_huffman.py), but with the step body written
+    BATCHED over lanes so the allocation while_loop runs as ONE Pallas
+    kernel per step (_vbr_eval_rows) instead of ~10 XLA fusions per loop
+    iteration per step — the reservoir chain is the codec's only serial
+    axis, so per-step cost is everything (VERDICT r2 item 1).
+
+    A speculative whole-clip fixed point on the budgets (evaluate all
+    frames in parallel at guessed budgets, rebuild the reservoir chain
+    from the resulting `used` via an associative clamped-affine scan,
+    iterate) was built and measured first: it is byte-exact on
+    convergence, but greedy allocation spends what it is given, so `used`
+    tracks the budget ~1:1 and a ±1-bit budget change reshuffles the
+    Huffman costs by several bits — the iteration converges by exactly
+    one frame per sweep (measured), i.e. the serial worst case. The
+    reservoir chain is inherently sequential at exact-parity granularity.
+    TAC_VBR_SERIAL=1 (trace-time) falls back to the per-frame scan for A/B.
+    """
+    import os
+
+    lanes, f = frames.shape[0], frames.shape[1]
+    res0 = jnp.broadcast_to(jnp.asarray(res0, jnp.int32), (lanes,))
+    if os.environ.get("TAC_VBR_SERIAL"):
+        return jax.vmap(lambda fr, r0: _encode_channel_vbr(
+            fr, r0, cfg, c, cost_tab))(frames, res0)
+
+    base = jnp.asarray(c.budget, jnp.int32)
+    cap = jnp.asarray(cfg.reservoir_factor * c.budget, jnp.int32)
+    rows = frames.reshape(lanes * f, frames.shape[-1])
+
+    # phase 1 (parallel): analysis + budget-independent pricing tables
+    lines, smr, bits_huf = _map_row_chunks(
+        lambda fr: _vbr_phase1(fr, cfg, c), (rows,), lanes * f)
+    to_lf = lambda x: x.reshape(lanes, f, *x.shape[1:]).swapaxes(0, 1)
+
+    # phase 2 (serial): the reservoir chain. Each step touches only [L, B]
+    # state — warm start + Pallas water-fill + 7-way select pricing; no
+    # [L, H] quantization inside the loop.
+    def step(res, xs):
+        sm, bh = xs                                     # [L, B], [L, B, 7]
+        alloc = _alloc_rows(sm, base + res, cfg, c)
+        raw, huf = _vbr_price(alloc, bh, c)
+        tid = (huf < raw).astype(jnp.int32)
+        used = jnp.minimum(raw, huf).astype(jnp.int32)
+        res2 = jnp.clip(res + base - used, 0, cap)
+        return res2, (alloc, tid, used, res2)
+
+    _, (allocs, tids, used, res_steps) = jax.lax.scan(
+        step, res0, (to_lf(smr), to_lf(bits_huf)))
+
+    # phase 3 (parallel): quantize every frame at the scan's allocations
+    swap = lambda x: x.swapaxes(0, 1)                   # [F, L, ...] → [L, F]
+    codes = _map_row_chunks(
+        lambda ln, al: jax.vmap(
+            lambda l_, a_: quantize_given_alloc(l_, a_, cfg, c))(ln, al),
+        (lines, swap(allocs).reshape(lanes * f, -1)), lanes * f)
+    codes = jax.tree_util.tree_map(
+        lambda x: x.reshape(lanes, f, *x.shape[1:]), codes)
+    return codes, swap(tids), swap(used), swap(res_steps)
+
+
+def _vbr_phase1(frame_rows, cfg: CodecConfig, c: CodecConsts):
+    """[M, N] frame rows → (lines [M, H], smr [M, B], bits_huf [M, B, 7])."""
+    lines, smr = jax.vmap(lambda r_: analyze_frame(r_, cfg, c))(frame_rows)
+    return lines, smr, _vbr_band_costs(lines, cfg, c)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_clip_vbr_impl(x, cfg: CodecConfig) -> VbrCode:
     from tac import huffman as hf
@@ -604,8 +776,7 @@ def _encode_clip_vbr_impl(x, cfg: CodecConfig) -> VbrCode:
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
-    codes, tids, used, _ = jax.vmap(
-        lambda fr: _encode_channel_vbr(fr, 0, cfg, c, cost_tab))(frames)
+    codes, tids, used, _ = _encode_vbr_lanes(frames, 0, cfg, c, cost_tab)
     return VbrCode(code=codes, table_id=tids, used_bits=used)
 
 
@@ -626,8 +797,7 @@ def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
-    codes, tids, _, _ = jax.vmap(
-        lambda fr: _encode_channel_vbr(fr, 0, cfg, c, cost_tab))(frames)
+    codes, tids, _, _ = _encode_vbr_lanes(frames, 0, cfg, c, cost_tab)
     vals, wids = payload_fields_vbr(codes, tids, cfg, c)
     return pack_rows(vals, wids, payload_capacity_bits(cfg, c))
 
@@ -648,9 +818,8 @@ def _encode_frames_vbr(frames, res0, cfg: CodecConfig):
 
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
-    codes, tids, used, res_steps = jax.vmap(
-        lambda fr, r0: _encode_channel_vbr(fr.astype(c.dtype), r0, cfg, c,
-                                           cost_tab))(frames, res0)
+    codes, tids, used, res_steps = _encode_vbr_lanes(
+        frames.astype(c.dtype), res0, cfg, c, cost_tab)
     return VbrCode(code=codes, table_id=tids, used_bits=used), res_steps
 
 

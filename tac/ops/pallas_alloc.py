@@ -131,8 +131,12 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     if b > LANES:
         raise ValueError(f"water_fill_rows supports <= {LANES} bands, "
                          f"got {b} (use the XLA water_fill loop)")
-    rp = -(-r // ROW_BLK) * ROW_BLK
-    grid = rp // ROW_BLK
+    # adaptive row block: tiny row counts (the VBR reservoir scan calls this
+    # per step with rows = lanes) must not pay for a full 256-row tile —
+    # pad to the 8-sublane granule instead (shape-static per trace)
+    row_blk = min(ROW_BLK, max(8, -(-r // 8) * 8))
+    rp = -(-r // row_blk) * row_blk
+    grid = rp // row_blk
     # padded rows: rem0 = 0 and smr = -inf -> nothing eligible, no lone
     smr_p = jnp.full((rp, LANES), -jnp.inf, jnp.float32)
     smr_p = smr_p.at[:r, :b].set(smr_q.astype(jnp.float32))
@@ -149,16 +153,16 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
         out_shape=jax.ShapeDtypeStruct((rp, LANES), jnp.int32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((ROW_BLK, 1), lambda i: (i, 0),
+            pl.BlockSpec((row_blk, 1), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((ROW_BLK, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(smr_p, nl_p, a0_p, rem_p)

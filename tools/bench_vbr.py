@@ -1,0 +1,84 @@
+"""VBR / combo ENCODE throughput on the live backend (VERDICT r2 item 1:
+the serial bit-reservoir scan capped VBR encode at ~63 audio-sec/s device
+vs 3160 fixed-rate — this tool tracks the attack on that gap).
+
+Measures device-only audio-sec encoded per wall-second for the huffman-VBR
+and combo (VBR+blockswitch) packed encode paths, single clip and (flat VBR)
+an 8-clip batch. Prints one JSON line."""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    import jax
+
+    cache = os.environ.get("TAC_COMPILE_CACHE")
+    if cache:
+        jax.config.update("jax_compilation_cache_dir", cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import jax.numpy as jnp
+
+    from tac import codec
+    from tac.config import PRESETS
+
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", 15))
+    iters = int(os.environ.get("TAC_BENCH_ITERS", 5))
+    fs = 44100
+    t = np.arange(int(fs * secs)) / fs
+    rng = np.random.default_rng(0)
+    sig = sum(a * np.sin(2 * np.pi * f * t)
+              for a, f in [(0.4, 440), (0.2, 880), (0.1, 1320), (0.03, 3080)])
+    x = np.stack([sig, 0.8 * sig + 0.02 * rng.standard_normal(len(t))])
+    xd = jnp.asarray(x, jnp.float32)
+
+    out = {"backend": jax.default_backend(), "secs": secs}
+
+    def timeit(fn):
+        # np.asarray on a tiny output fences execution on the axon backend
+        # (block_until_ready is a no-op over the remote tunnel)
+        fn()
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            fn()
+        return (time.perf_counter() - t0) / iters
+
+    # --- flat huffman VBR, single clip
+    cfg = PRESETS["vbr-huffman"]
+    dt = timeit(lambda: np.asarray(codec.encode_clip_vbr_packed(xd, cfg)[1]))
+    out["vbr_device"] = round(secs / dt, 1)
+
+    # --- combo (VBR + blockswitch), single clip
+    from tac import blockswitch as bsw
+    ccfg = PRESETS["vbr-bs"]
+    dt = timeit(lambda: np.asarray(
+        bsw.encode_clip_bs_vbr_packed(xd, ccfg)[1]))
+    out["combo_device"] = round(secs / dt, 1)
+
+    # --- flat VBR, 8-clip batch (vmapped over clips)
+    b = 8
+    xb = jnp.asarray(np.stack([x] * b), jnp.float32)
+
+    @jax.jit
+    def enc_batch(xs):
+        return jax.vmap(
+            lambda xi: codec._encode_clip_vbr_packed_impl(xi, cfg))(xs)
+
+    dt = timeit(lambda: np.asarray(enc_batch(xb)[1]))
+    out["vbr_batched_device"] = round(b * secs / dt, 1)
+
+    print(json.dumps({"metric": "vbr_encode_throughput",
+                      "unit": "audio_sec_per_sec_per_chip", **out}))
+
+
+if __name__ == "__main__":
+    main()
