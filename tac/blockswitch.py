@@ -326,21 +326,32 @@ def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _encode_clip_bs_vbr_packed_impl(x, cfg: CodecConfig):
+def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
+    """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
+
+    Leading axes flatten into independent reservoir lanes (each lane one
+    channel's chain from fill 0), so corpus batches produce per-clip
+    bytes identical to solo encodes (tests/test_corpus.py)."""
     from tac import huffman as hf
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
     xt = x.astype(c.cl.dtype)
-    frames = fb.frame_signal(xt, cfg.n_mdct_lines)       # [C, F, N]
-    f = frames.shape[1]
+    frames = fb.frame_signal(xt, cfg.n_mdct_lines)       # [..., C, F, N]
+    lead, f = frames.shape[:-2], frames.shape[-2]
     states = window_states(transient_flags(xt, cfg), f)
     cost_tab = hf.cost_table_jnp()
     bc, tids, _ = jax.vmap(
         lambda fr, st: _encode_channel_bs_vbr(fr, st, 0, cfg, c, cost_tab)
-    )(frames, states)
+    )(frames.reshape(-1, f, frames.shape[-1]), states.reshape(-1, f))
     vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
-    return pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
+    words, nbits = pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
+    return (words.reshape(*lead, f, words.shape[-1]),
+            nbits.reshape(*lead, f))
+
+
+def _encode_clip_bs_vbr_packed_impl(x, cfg: CodecConfig):
+    return _encode_bs_vbr_packed_leading(x, cfg)
 
 
 def encode_clip_bs_vbr_packed(x, cfg: CodecConfig):
@@ -425,21 +436,28 @@ def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):
+def _encode_bs_packed_leading(x, cfg: CodecConfig):
+    """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]); all
+    leading axes flatten into one frame-row axis (ENC_CHUNK-bounded)."""
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
     h = cfg.n_mdct_lines
     xt = x.astype(c.cl.dtype)
-    frames = fb.frame_signal(xt, h)
-    ch, f = frames.shape[0], frames.shape[1]
+    frames = fb.frame_signal(xt, h)                      # [..., C, F, N]
+    lead = frames.shape[:-1]
+    f = frames.shape[-2]
     states = window_states(transient_flags(xt, cfg), f)
-    bc = _encode_rows_bs(frames.reshape(ch * f, -1),
-                         states.reshape(ch * f), cfg, c)
+    bc = _encode_rows_bs(frames.reshape(-1, frames.shape[-1]),
+                         states.reshape(-1), cfg, c)
     bc = jax.tree_util.tree_map(
-        lambda l: l.reshape(ch, f, *l.shape[1:]), bc)
+        lambda l: l.reshape(*lead, *l.shape[1:]), bc)
     vals, wids = payload_fields_bs(bc, cfg, c)
     return pack_rows(vals, wids, capacity_bits_bs(cfg, c))
+
+
+def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):
+    return _encode_bs_packed_leading(x, cfg)
 
 
 def encode_clip_bs_packed(x, cfg: CodecConfig):

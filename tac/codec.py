@@ -786,20 +786,34 @@ def encode_clip_vbr(x, cfg: CodecConfig) -> VbrCode:
 
 
 @partial(jax.jit, static_argnums=(1,))
-def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):
+def _encode_vbr_packed_leading(x, cfg: CodecConfig):
     """VBR encode + huffman field pack entirely on device: reservoir scan,
     raw-vs-huffman pricing, codeword emission (table gathers) and bit pack
     in one fused graph — only payload words cross the device→host link
-    (mirrors _encode_packed_leading for the fixed-rate path)."""
+    (mirrors _encode_packed_leading for the fixed-rate path).
+
+    x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]). All
+    leading axes flatten into reservoir-scan lanes (each lane = one
+    channel's independent chain), so corpus batches ride the same
+    lane-batched scan as a single clip — byte-identical per clip to solo
+    encodes because every chain starts at reservoir fill 0."""
     from tac import huffman as hf
     from tac.ops.bitpack import pack_rows
 
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
-    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
-    codes, tids, _, _ = _encode_vbr_lanes(frames, 0, cfg, c, cost_tab)
+    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
+    lead, f = frames.shape[:-2], frames.shape[-2]     # [..., C], F
+    codes, tids, _, _ = _encode_vbr_lanes(
+        frames.reshape(-1, f, frames.shape[-1]), 0, cfg, c, cost_tab)
     vals, wids = payload_fields_vbr(codes, tids, cfg, c)
-    return pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    return (words.reshape(*lead, f, words.shape[-1]),
+            nbits.reshape(*lead, f))
+
+
+def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):
+    return _encode_vbr_packed_leading(x, cfg)
 
 
 def encode_clip_vbr_packed(x, cfg: CodecConfig):

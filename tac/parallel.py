@@ -85,6 +85,20 @@ def _encode_batch_jit(x, cfg: CodecConfig):
         lambda l: l.reshape(*lead, *l.shape[1:]), code)
 
 
+def _packed_encode_impl(cfg: CodecConfig):
+    """The jitted packed-encode entry for cfg's stream family (the decode
+    mirror is _packed_decode_impl). All four flatten leading axes — raw
+    and bs over one frame-row axis, the VBR families over reservoir
+    lanes — so [B, C, T] batches produce per-clip bytes identical to
+    solo encodes (tests/test_corpus.py)."""
+    if cfg.use_block_switch:
+        from tac import blockswitch as bsw
+        return (bsw._encode_bs_vbr_packed_leading if cfg.use_huffman
+                else bsw._encode_bs_packed_leading)
+    return (codec._encode_vbr_packed_leading if cfg.use_huffman
+            else codec._encode_packed_leading)
+
+
 def encode_batch_packed(x, cfg: CodecConfig):
     """Batched device-packed encode. x: [B, C, T] →
     (words uint32[B, C, F, W32], nbits int32[B, C, F])."""
@@ -92,20 +106,21 @@ def encode_batch_packed(x, cfg: CodecConfig):
 
 
 def _encode_batch_packed_jit(x, cfg: CodecConfig):
-    # one flat frame-row axis across (batch, channels, frames): ENC_CHUNK
+    # one flat frame-row/lane axis across (batch, channels): ENC_CHUNK
     # bounds the per-program size regardless of batch shape
-    return codec._encode_packed_leading(x, cfg)
+    return _packed_encode_impl(cfg)(x, cfg)
 
 
 def encode_batch_packed_sharded(x, cfg: CodecConfig, mesh: Mesh):
     """Corpus packed encode over the mesh clips axis: each device encodes
     AND bit-packs its clip shard; only payload words leave the devices.
     x: [B, C, T] with B divisible by the clips axis size."""
+    impl = _packed_encode_impl(cfg)
 
     @partial(shard_map, mesh=mesh, in_specs=P("clips"),
              out_specs=(P("clips"), P("clips")), check_vma=False)
     def run(xs):
-        return codec._encode_packed_leading(xs, cfg)
+        return impl.__wrapped__(xs, cfg)
 
     return jax.jit(run)(x)
 

@@ -46,6 +46,29 @@ def test_batched_bytes_equal_solo(corpus_dir):
         assert batched == solo, p
 
 
+@pytest.mark.parametrize("kw", [
+    dict(use_huffman=True),
+    dict(use_block_switch=True, n_mdct_lines_short=64),
+    dict(use_huffman=True, use_block_switch=True, n_mdct_lines_short=64),
+], ids=["vbr", "bs", "combo"])
+def test_batched_bytes_equal_solo_all_families(corpus_dir, kw):
+    """Corpus encode must route every stream family through its own packed
+    encoder (r2 regression: VBR/bs configs silently took the raw-layout
+    packer, emitting mis-labeled streams)."""
+    tmp_path, paths = corpus_dir
+    cfg = CFG.replace(**kw)
+    out = tmp_path / ("out_" + "_".join(sorted(kw)))
+    tc = CorpusTranscoder(cfg, str(out), batch_size=4)
+    stats = tc.run(paths, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    for p in paths:
+        from tac.io.wav import read_wav
+        x, fs = read_wav(p)
+        solo = api.encode_array(x, cfg)
+        name = os.path.splitext(os.path.basename(p))[0] + ".pac"
+        assert (out / name).read_bytes() == solo, p
+
+
 def test_resume_skips_done(corpus_dir):
     tmp_path, paths = corpus_dir
     out = tmp_path / "out2"
