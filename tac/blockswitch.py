@@ -325,6 +325,80 @@ def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
     return bcs, tids, res_steps
 
 
+def _encode_bs_vbr_lanes(frames, states, res0, cfg: CodecConfig,
+                         c: BsConsts, cost_tab):
+    """Lane-batched windowState-aware reservoir scan (the combo mirror of
+    codec._encode_vbr_lanes, VERDICT r2 item 1).
+
+    frames f[L, F, N], states i32[L, F], res0 i32[L] (or scalar) →
+    (BsFrameCode [L, F, ...], table_id [L, F], res_steps [L, F]) —
+    byte-identical to vmapping _encode_channel_bs_vbr over lanes
+    (tests/test_bs_vbr.py, goldens config6): the window state picks which
+    encoding is serialized and it is budget-independent, so the scan only
+    allocates the state-SELECTED encoding per lane — smr, Huffman band-
+    cost table, and line→band map are pre-selected by state in the
+    parallel phase, and each scan step is one warm start + Pallas
+    water-fill + 7-way select over [L, B], with per-row n_lines carrying
+    the long-vs-grouped-short band widths. Quantization of both encodings
+    at the scan's allocations happens in the parallel phase 3 (the
+    non-selected one is never serialized). TAC_VBR_SERIAL=1 (trace-time)
+    keeps the per-frame scan for A/B."""
+    import os
+
+    lanes, f = frames.shape[0], frames.shape[1]
+    res0 = jnp.broadcast_to(jnp.asarray(res0, jnp.int32), (lanes,))
+    if os.environ.get("TAC_VBR_SERIAL"):
+        return jax.vmap(lambda fr, st, r0: _encode_channel_bs_vbr(
+            fr, st, r0, cfg, c, cost_tab))(frames, states, res0)
+
+    base = jnp.asarray(c.cl.budget, jnp.int32)
+    cap = jnp.asarray(cfg.reservoir_factor * c.cl.budget, jnp.int32)
+    rows = frames.reshape(lanes * f, frames.shape[-1])
+    st_rows = states.reshape(lanes * f)
+
+    def phase1(fr, st):
+        ll, sl, ls, ss = jax.vmap(
+            lambda f_, s_: analyze_frame_bs(f_, s_, cfg, c))(fr, st)
+        bh_l = codec_mod._vbr_band_costs(ll, cfg, c.cl)
+        bh_s = codec_mod._vbr_band_costs(ls, cfg, c.cg)
+        shrt = (st == SHORT)
+        smr = jnp.where(shrt[:, None], ss, sl)
+        bh = jnp.where(shrt[:, None, None], bh_s, bh_l)
+        return ll, ls, smr, bh
+
+    ll, ls, smr, bh = codec_mod._map_row_chunks(
+        phase1, (rows, st_rows), lanes * f)
+    nl_rows = jnp.where((st_rows == SHORT)[:, None],
+                        c.cg.n_lines, c.cl.n_lines)       # [R, B]
+    to_lf = lambda x: x.reshape(lanes, f, *x.shape[1:]).swapaxes(0, 1)
+
+    def step(res, xs):
+        sm, bhx, nl = xs                # [L, B], [L, B, 7], [L, B]
+        alloc = codec_mod._alloc_rows(sm, base + res, cfg, nl)
+        raw, huf = codec_mod._vbr_price(alloc, bhx, nl)
+        tid = (huf < raw).astype(jnp.int32)
+        used = jnp.minimum(raw, huf).astype(jnp.int32)
+        res2 = jnp.clip(res + base - used, 0, cap)
+        return res2, (alloc, tid, res2)
+
+    _, (allocs, tids, res_steps) = jax.lax.scan(
+        step, res0, (to_lf(smr), to_lf(bh), to_lf(nl_rows)))
+
+    al_rows = allocs.swapaxes(0, 1).reshape(lanes * f, -1)
+    code_l, code_s = codec_mod._map_row_chunks(
+        lambda l1, l2, al: (
+            jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+                a_, b_, cfg, c.cl))(l1, al),
+            jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+                a_, b_, cfg, c.cg))(l2, al)),
+        (ll, ls, al_rows), lanes * f)
+    unflat = lambda t: jax.tree_util.tree_map(
+        lambda x: x.reshape(lanes, f, *x.shape[1:]), t)
+    bc = BsFrameCode(state=states, long=unflat(code_l), short=unflat(code_s))
+    swap = lambda x: x.swapaxes(0, 1)
+    return bc, swap(tids), swap(res_steps)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
@@ -341,9 +415,9 @@ def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     lead, f = frames.shape[:-2], frames.shape[-2]
     states = window_states(transient_flags(xt, cfg), f)
     cost_tab = hf.cost_table_jnp()
-    bc, tids, _ = jax.vmap(
-        lambda fr, st: _encode_channel_bs_vbr(fr, st, 0, cfg, c, cost_tab)
-    )(frames.reshape(-1, f, frames.shape[-1]), states.reshape(-1, f))
+    bc, tids, _ = _encode_bs_vbr_lanes(
+        frames.reshape(-1, f, frames.shape[-1]), states.reshape(-1, f),
+        0, cfg, c, cost_tab)
     vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
     words, nbits = pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
     return (words.reshape(*lead, f, words.shape[-1]),
@@ -544,10 +618,8 @@ def _encode_frames_bs_vbr_packed(prior, look, new_halves, t_hist, res0,
     states = _stream_states(t, m)
 
     cost_tab = hf.cost_table_jnp()
-    bc, tids, res_steps = jax.vmap(
-        lambda fr, st, r0: _encode_channel_bs_vbr(fr, st, r0, cfg, c,
-                                                  cost_tab)
-    )(frames, states, jnp.asarray(res0, jnp.int32))
+    bc, tids, res_steps = _encode_bs_vbr_lanes(
+        frames, states, jnp.asarray(res0, jnp.int32), cfg, c, cost_tab)
     vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
     words, nbits = pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
     return words, nbits, t, res_steps

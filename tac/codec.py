@@ -599,29 +599,39 @@ def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
 
 # --------------------------------------- VBR lane-batched reservoir scan ---
 
-def _alloc_rows(smr, budgets, cfg: CodecConfig, c: CodecConsts):
-    """Batched greedy allocation: smr f[R, B], budgets int32[R] (traced) →
-    alloc int32[R, B]. The Pallas water-fill kernel on TPU fast paths,
-    the XLA while_loop otherwise — decisions identical (tests/
-    test_pallas_alloc.py)."""
+def _alloc_rows(smr, budgets, cfg: CodecConfig, n_lines):
+    """Batched greedy allocation: smr f[R, B], budgets int32[R] (traced),
+    n_lines int32[B] or per-row int32[R, B] (the combo's state-selected
+    band maps) → alloc int32[R, B]. The Pallas water-fill kernel on TPU
+    fast paths, the XLA while_loop otherwise — decisions identical
+    (tests/test_pallas_alloc.py)."""
+    per_row = n_lines.ndim == 2
     if not _use_pallas_alloc(cfg):
+        if per_row:
+            return jax.vmap(lambda s_, bg, nl: ba.allocate(
+                s_, nl, bg, cfg.alloc_mode, cfg.max_mant_bits))(
+                smr, budgets, n_lines)
         return jax.vmap(lambda s_, bg: ba.allocate(
-            s_, c.n_lines, bg, cfg.alloc_mode, cfg.max_mant_bits))(
+            s_, n_lines, bg, cfg.alloc_mode, cfg.max_mant_bits))(
             smr, budgets)
     from tac.ops.pallas_alloc import water_fill_rows
 
     smr_eff = jnp.zeros_like(smr) if cfg.alloc_mode == "uniform" else smr
     smr_q = ba.snap_smr(smr_eff)
     if ba._USE_WARM_START:
-        a0, r0 = jax.vmap(lambda s, bg: ba._warm_start(
-            s, c.n_lines, bg,
-            min(cfg.max_mant_bits, ba.MANT_MAX)))(smr_q, budgets)
+        maxm = min(cfg.max_mant_bits, ba.MANT_MAX)
+        if per_row:
+            a0, r0 = jax.vmap(lambda s, bg, nl: ba._warm_start(
+                s, nl, bg, maxm))(smr_q, budgets, n_lines)
+        else:
+            a0, r0 = jax.vmap(lambda s, bg: ba._warm_start(
+                s, n_lines, bg, maxm))(smr_q, budgets)
     else:
         a0 = jnp.zeros(smr_q.shape, jnp.int32)
         r0 = budgets.astype(jnp.int32)
-    return water_fill_rows(smr_q, c.n_lines, a0, r0,
+    return water_fill_rows(smr_q, n_lines, a0, r0,
                            max_mant=cfg.max_mant_bits,
-                           nb=int(c.n_lines.shape[0]))
+                           nb=int(n_lines.shape[-1]))
 
 
 def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
@@ -666,8 +676,9 @@ def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
     return jnp.stack(outs, axis=-1)                         # [R, B, 7]
 
 
-def _vbr_price(alloc, bits_huf, c: CodecConsts):
-    """alloc int32[L, B], bits_huf int32[L, B, 7] → (raw, huf) int32[L].
+def _vbr_price(alloc, bits_huf, n_lines):
+    """alloc int32[L, B], bits_huf int32[L, B, 7], n_lines int32[B] or
+    [L, B] → (raw, huf) int32[L].
 
     Integer-identical to huffman.frame_mantissa_costs on the mantissas
     quantize_given_alloc would emit at `alloc` (asserted via the byte-
@@ -675,7 +686,7 @@ def _vbr_price(alloc, bits_huf, c: CodecConsts):
     coded band cost for codable allocations."""
     from tac import huffman as hf
 
-    raw_b = alloc * c.n_lines                               # [L, B]
+    raw_b = alloc * n_lines                                 # [L, B]
     huf_b = raw_b                                           # non-codable: raw
     for m in range(hf.MIN_M, hf.MAX_M + 1):
         huf_b = jnp.where(alloc == m, bits_huf[..., m - hf.MIN_M], huf_b)
@@ -742,8 +753,8 @@ def _encode_vbr_lanes(frames, res0, cfg: CodecConfig, c: CodecConsts,
     # [L, H] quantization inside the loop.
     def step(res, xs):
         sm, bh = xs                                     # [L, B], [L, B, 7]
-        alloc = _alloc_rows(sm, base + res, cfg, c)
-        raw, huf = _vbr_price(alloc, bh, c)
+        alloc = _alloc_rows(sm, base + res, cfg, c.n_lines)
+        raw, huf = _vbr_price(alloc, bh, c.n_lines)
         tid = (huf < raw).astype(jnp.int32)
         used = jnp.minimum(raw, huf).astype(jnp.int32)
         res2 = jnp.clip(res + base - used, 0, cap)

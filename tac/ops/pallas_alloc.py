@@ -123,7 +123,7 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     tac.bitalloc.water_fill over a whole row block in one kernel.
 
     smr_q:  f32[R, B] grid-snapped SMRs
-    n_lines: i32[B]
+    n_lines: i32[B], or i32[R, B] per-row (the combo's state-selected maps)
     alloc0: i32[R, B], rem0: i32[R] — the warm-start state
     Returns i32[R, B] final allocations (== jax.vmap(water_fill) exactly).
     """
@@ -140,9 +140,12 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     # padded rows: rem0 = 0 and smr = -inf -> nothing eligible, no lone
     smr_p = jnp.full((rp, LANES), -jnp.inf, jnp.float32)
     smr_p = smr_p.at[:r, :b].set(smr_q.astype(jnp.float32))
-    nl_p = jnp.zeros((1, LANES), jnp.int32).at[0, :b].set(
-        jnp.asarray(n_lines, jnp.int32))
-    nl_p = jnp.broadcast_to(nl_p, (rp, LANES))
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    if n_lines.ndim == 2:
+        nl_p = jnp.zeros((rp, LANES), jnp.int32).at[:r, :b].set(n_lines)
+    else:
+        nl_p = jnp.zeros((1, LANES), jnp.int32).at[0, :b].set(n_lines)
+        nl_p = jnp.broadcast_to(nl_p, (rp, LANES))
     a0_p = jnp.zeros((rp, LANES), jnp.int32).at[:r, :b].set(
         alloc0.astype(jnp.int32))
     rem_p = jnp.zeros((rp, 1), jnp.int32).at[:r, 0].set(
