@@ -351,8 +351,6 @@ def _encode_bs_vbr_lanes(frames, states, res0, cfg: CodecConfig,
         return jax.vmap(lambda fr, st, r0: _encode_channel_bs_vbr(
             fr, st, r0, cfg, c, cost_tab))(frames, states, res0)
 
-    base = jnp.asarray(c.cl.budget, jnp.int32)
-    cap = jnp.asarray(cfg.reservoir_factor * c.cl.budget, jnp.int32)
     rows = frames.reshape(lanes * f, frames.shape[-1])
     st_rows = states.reshape(lanes * f)
 
@@ -372,17 +370,9 @@ def _encode_bs_vbr_lanes(frames, states, res0, cfg: CodecConfig,
                         c.cg.n_lines, c.cl.n_lines)       # [R, B]
     to_lf = lambda x: x.reshape(lanes, f, *x.shape[1:]).swapaxes(0, 1)
 
-    def step(res, xs):
-        sm, bhx, nl = xs                # [L, B], [L, B, 7], [L, B]
-        alloc = codec_mod._alloc_rows(sm, base + res, cfg, nl)
-        raw, huf = codec_mod._vbr_price(alloc, bhx, nl)
-        tid = (huf < raw).astype(jnp.int32)
-        used = jnp.minimum(raw, huf).astype(jnp.int32)
-        res2 = jnp.clip(res + base - used, 0, cap)
-        return res2, (alloc, tid, res2)
-
-    _, (allocs, tids, res_steps) = jax.lax.scan(
-        step, res0, (to_lf(smr), to_lf(bh), to_lf(nl_rows)))
+    allocs, tids, _, res_steps = codec_mod._reservoir_chain(
+        to_lf(smr), to_lf(bh), to_lf(nl_rows), res0, c.cl.budget,
+        cfg.reservoir_factor * c.cl.budget, cfg)
 
     al_rows = allocs.swapaxes(0, 1).reshape(lanes * f, -1)
     code_l, code_s = codec_mod._map_row_chunks(

@@ -57,6 +57,29 @@ def cost_table_jnp() -> jnp.ndarray:
     return jnp.asarray(cost_table_np())
 
 
+def run_decompose(row: np.ndarray):
+    """(c0, [(start, delta), ...]) such that
+    row[s] == c0 + Σ_r (s >= start_r) * delta_r  for all s.
+
+    Canonical tables are highly run-structured (the trained set has ~127
+    runs across all 508 symbols), so a table lookup becomes a short
+    compare-accumulate chain instead of a TPU gather or a per-symbol
+    select chain — the codec's recurring gather lesson (PERF.md).
+    Exact for any integer row by construction.
+    """
+    row = np.asarray(row, np.int64)
+    starts = np.flatnonzero(np.diff(row)) + 1
+    return int(row[0]), [(int(s), int(row[s] - row[s - 1])) for s in starts]
+
+
+def _apply_runs(sym, c0: int, runs) -> jnp.ndarray:
+    """Evaluate a run-decomposed row at int32 symbols (device, fused)."""
+    out = jnp.full(sym.shape, c0, jnp.int32)
+    for start, delta in runs:
+        out = out + jnp.where(sym >= start, jnp.int32(delta), 0)
+    return out
+
+
 def frame_mantissa_costs(mant, m_line, cost_tab):
     """Device-side per-frame coded sizes. mant, m_line: int32[H].
 
@@ -111,28 +134,52 @@ def encode_fields(mant: np.ndarray, m_line: np.ndarray):
     return vals, wids
 
 
+@lru_cache(maxsize=1)
+def _enc_runs():
+    """Per-m run decompositions of the encode rows (see run_decompose):
+    {m: (cl_c0, cl_runs, d_c0, d_runs, esc_c0, esc_runs)} where
+    d[s] = code[s] - s — constant within every equal-length CODED run
+    (canonical codes of same-length adjacent symbols differ by exactly 1),
+    so the codeword lookup is a compare-accumulate chain too."""
+    codes, lens, escaped = _enc_arrays()
+    out = {}
+    for m in range(MIN_M, MAX_M + 1):
+        n = 1 << m
+        sidx = np.arange(n)
+        out[m] = (*run_decompose(lens[m, :n]),
+                  *run_decompose(codes[m, :n] - sidx),
+                  *run_decompose(escaped[m, :n].astype(np.int64)))
+    return out
+
+
 def encode_fields_device(mant, m_line):
-    """Device mirror of encode_fields (pure table gathers — jit/vmap-safe).
+    """Device mirror of encode_fields (jit/vmap-safe, gather-free).
 
     mant, m_line: int32[..., H] → (vals, wids) int32[..., H, 2]: per line a
     codeword field and an escape-raw field (width 0 when not escaped or m
     outside [MIN_M, MAX_M] — then the codeword field IS the raw mantissa).
     Feeds tac.ops.bitpack.pack_rows so VBR payloads pack fully on device.
+
+    The per-(m, symbol) code/length lookups run as run-decomposed
+    compare-accumulate chains (_enc_runs) — ~127 fused elementwise ops
+    total instead of two [K, H] TPU gathers into [9, 256] tables
+    (integer-identical; tests/test_huffman.py asserts vs encode_fields).
     """
-    codes, lens, escaped = _enc_arrays()
-    codes_j = jnp.asarray(codes, jnp.int32)
-    lens_j = jnp.asarray(lens, jnp.int32)
-    esc_j = jnp.asarray(escaped)
+    runs = _enc_runs()
     m_line = jnp.asarray(m_line, jnp.int32)
     mant = jnp.asarray(mant, jnp.int32)
-    m = jnp.clip(m_line, 0, MAX_M)
-    codable = (m_line >= MIN_M) & (m_line <= MAX_M)
-    sym = jnp.clip(mant, 0, 2 ** MAX_M - 1)
-    cw = jnp.where(codable, codes_j[m, sym], mant)
-    cl = jnp.where(codable, lens_j[m, sym], m_line)
-    esc = codable & esc_j[m, sym]
-    vals = jnp.stack([cw, jnp.where(esc, mant, 0)], axis=-1)
-    wids = jnp.stack([cl, jnp.where(esc, m_line, 0)], axis=-1)
+    cw = mant
+    cl = m_line
+    esc = jnp.zeros(mant.shape, jnp.int32)
+    for m in range(MIN_M, MAX_M + 1):
+        cl_c0, cl_r, d_c0, d_r, e_c0, e_r = runs[m]
+        here = m_line == m
+        cl = jnp.where(here, _apply_runs(mant, cl_c0, cl_r), cl)
+        cw = jnp.where(here, mant + _apply_runs(mant, d_c0, d_r), cw)
+        esc = jnp.where(here, _apply_runs(mant, e_c0, e_r), esc)
+    escb = esc == 1
+    vals = jnp.stack([cw, jnp.where(escb, mant, 0)], axis=-1)
+    wids = jnp.stack([cl, jnp.where(escb, m_line, 0)], axis=-1)
     return vals, wids
 
 

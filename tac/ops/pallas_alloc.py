@@ -36,12 +36,17 @@ LANES = 128          # band axis padded to one VPU lane group
 ROW_BLK = 256        # rows per grid program
 
 
-def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
-            max_mant: int, nb: int):
+def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int):
+    """The greedy water-fill while_loop on VMEM-resident tiles.
+
+    smr f32[R, 128], n_lines i32[R, 128], alloc0 i32[R, 128],
+    rem0 i32[R, 1] → alloc i32[R, 128]. Shared by the row-block kernel
+    below and the VBR reservoir-scan kernel (tac/ops/pallas_vbr_scan.py)
+    so both replay tac.bitalloc.water_fill's decision chain from ONE body.
+    Padded lanes (band >= nb) must carry smr = -inf / n_lines = 0.
+    """
     dec32 = [np.float32(v) for v in DEC_TABLE]      # same constants as XLA
     neg = jnp.float32(-np.inf)
-    smr = smr_ref[:]                                 # [RB, 128] f32
-    n_lines = nl_ref[:]                              # [RB, 128] i32 (bcast)
     band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, 1)
     pad = band >= nb                                 # padded lanes: inert
     valid_band = (n_lines > 0) & ~pad
@@ -109,10 +114,74 @@ def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
         return alloc, rem, frozen, jnp.all(done)
 
     # frozen carried as i32 0/1: Mosaic rejects i1 vector stores/selects
-    state = (alloc0_ref[:], rem0_ref[:],
-             jnp.zeros_like(alloc0_ref[:]), jnp.asarray(False))
+    state = (alloc0, rem0, jnp.zeros_like(alloc0), jnp.asarray(False))
     alloc, _, _, _ = jax.lax.while_loop(lambda s: ~s[3], body, state)
-    out_ref[:] = alloc
+    return alloc
+
+
+def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
+                    rounds: int = 2, n_bisect: int = 20):
+    """In-kernel water-level warm start (tile mirror of
+    tac.bitalloc._warm_start — see its docstring for the prefix lemma).
+
+    smr f32[R, 128], n_lines i32[R, 128], rem0 i32[R, 1] →
+    (alloc0 i32[R, 128], rem i32[R, 1]). Exactness does NOT depend on the
+    trip count or on matching the XLA bisection's T: any converged
+    threshold whose prefix passes the affordability check lands on a
+    greedy-reachable state, and the while_loop finishes identically.
+    The event keys are precomputed as fl(smr - DEC[m]) — the very f32
+    values the loop's `need` uses — so the granted set is an exact prefix
+    of the loop's own ordering. Straight-line (fully unrolled): inside a
+    kernel each trip is ~40 VPU ops with no per-iteration sync, unlike
+    the while_loop tail it shortens (~70 → ~17 data-dependent iterations).
+    """
+    m_cap = min(max_mant, MANT_MAX)
+    dec32 = [np.float32(v) for v in DEC_TABLE]
+    neg = jnp.float32(-np.inf)
+    big = jnp.float32(1e30)
+    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, 1)
+    valid = (n_lines > 0) & (band < nb)
+    keys = [jnp.where(valid, smr - dec32[m], neg) for m in range(m_cap)]
+
+    alloc0 = jnp.zeros_like(n_lines)
+    rem = rem0                                            # [R, 1] i32
+    for _ in range(rounds):
+        top = neg * jnp.ones_like(smr)
+        for m in range(m_cap):                            # top = keys[alloc0]
+            top = jnp.where(alloc0 == m, keys[m], top)
+        live_any = valid & (alloc0 < m_cap)
+        top = jnp.where(live_any, top, neg)
+        hi = jnp.max(top, axis=1, keepdims=True)
+        lo = jnp.min(jnp.where(live_any, keys[m_cap - 1], big),
+                     axis=1, keepdims=True) - 1.0
+
+        def granted(t):
+            cnt = jnp.zeros_like(alloc0)
+            for m in range(m_cap):
+                cnt = cnt + (keys[m] > t).astype(jnp.int32)
+            return jnp.maximum(cnt - alloc0, 0)
+
+        for _ in range(n_bisect):
+            mid = 0.5 * (lo + hi)
+            g = granted(mid)
+            cost = jnp.sum(g * n_lines, axis=1, keepdims=True,
+                           dtype=jnp.int32)
+            lmaxp = jnp.max(jnp.where(top > mid, n_lines, 0),
+                            axis=1, keepdims=True)
+            good = cost <= rem - lmaxp
+            lo = jnp.where(good, lo, mid)
+            hi = jnp.where(good, mid, hi)
+        g = granted(hi)
+        alloc0 = alloc0 + g
+        rem = rem - jnp.sum(g * n_lines, axis=1, keepdims=True,
+                            dtype=jnp.int32)
+    return alloc0, rem
+
+
+def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
+            max_mant: int, nb: int):
+    out_ref[:] = water_fill_tile(smr_ref[:], nl_ref[:], alloc0_ref[:],
+                                 rem0_ref[:], max_mant=max_mant, nb=nb)
 
 
 @functools.partial(jax.jit,

@@ -1,0 +1,157 @@
+"""Pallas TPU kernel: the ENTIRE VBR bit-reservoir scan in one program.
+
+Why: the reservoir chain is the codec's only serial axis (SPEC.md §8 —
+frame i's budget depends on frame i-1's spend), so VBR encode throughput
+is per-scan-step cost × F steps. Round 2 batched the step over lanes and
+ran the water-fill as a Pallas kernel per step, but each `lax.scan` step
+still paid the XLA-side warm start (~64 sequential fused kernels) plus a
+kernel launch — ~63→134 audio-sec/s device (PERF.md). This kernel moves
+the WHOLE chain on-chip: grid = frames (TPU grid steps execute in order
+on one core), the reservoir fill lives in VMEM scratch across steps, and
+each step runs the water-fill while_loop (tac/ops/pallas_alloc.water_fill_tile
+— the SAME body as the row-block kernel, so decisions replay
+tac.bitalloc.water_fill bit-for-bit), the 7-way raw-vs-Huffman price
+select (integer-identical to codec._vbr_price), and the reservoir clamp,
+all without leaving the chip.
+
+Each step first runs the in-kernel warm start
+(pallas_alloc.warm_start_tile — straight-line unrolled bisection, no
+per-iteration sync) so the data-dependent while_loop tail shrinks
+~70 → ~17 iterations; the while_loop's vector→scalar condition sync is
+the per-iteration cost inside a kernel, so trip count is everything.
+
+Serves both reservoir flavors (n_lines may be per-frame for the
+windowState-aware combo scan, tac/blockswitch.py): alloc/tid/used/res
+outputs are byte-parity-asserted against the lax.scan path in
+tests/test_pallas_vbr_scan.py and the serial oracle via the golden suite.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tac.huffman import MIN_M, MAX_M
+from tac.ops.pallas_alloc import LANES, warm_start_tile, water_fill_tile
+
+N_TAB = MAX_M - MIN_M + 1
+
+
+def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
+                 alloc_ref, tid_ref, used_ref, res_ref, res_scr, *,
+                 base: int, cap: int, max_mant: int, nb: int):
+    i = pl.program_id(0)
+
+    @pl.when(i == 0)
+    def _init():
+        res_scr[:] = res0_ref[:]                     # [Lp, 1] i32
+
+    res = res_scr[:]                                 # [Lp, 1] i32, in [0, cap]
+    smr = smr_ref[0]                                 # [Lp, 128] f32 (-inf pad)
+    nl = nl_ref[0]                                   # [Lp, 128] i32 (0 pad)
+
+    alloc0, rem = warm_start_tile(smr, nl, base + res,
+                                  max_mant=max_mant, nb=nb)
+    alloc = water_fill_tile(smr, nl, alloc0, rem,
+                            max_mant=max_mant, nb=nb)
+
+    # pricing: integer-identical to codec._vbr_price (raw = Σ alloc·n_lines;
+    # huffman swaps in the precomputed coded band cost at codable allocs)
+    raw_b = alloc * nl                               # [Lp, 128]
+    huf_b = raw_b
+    for m in range(MIN_M, MAX_M + 1):
+        huf_b = jnp.where(alloc == m, bh_ref[0, m - MIN_M], huf_b)
+    raw = jnp.sum(raw_b, axis=1, keepdims=True,
+                  dtype=jnp.int32)                   # [Lp, 1]
+    huf = jnp.sum(huf_b, axis=1, keepdims=True, dtype=jnp.int32)
+    tid = (huf < raw).astype(jnp.int32)
+    used = jnp.minimum(raw, huf)
+    res2 = jnp.clip(res + base - used, 0, cap).astype(jnp.int32)
+
+    alloc_ref[0] = alloc
+    tid_ref[0] = tid
+    used_ref[0] = used
+    res_ref[0] = res2
+    res_scr[:] = res2
+
+
+@functools.partial(
+    jax.jit, static_argnames=("base", "cap", "max_mant", "nb", "interpret"))
+def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
+                       cap: int, max_mant: int, nb: int,
+                       interpret: bool = False):
+    """Run the whole bit-reservoir chain on-chip.
+
+    smr_q:    f32[F, L, B] grid-snapped SMRs, frame-major (scan order)
+    bits_huf: i32[F, L, B, 7] coded band cost at candidate m = 2..8
+    n_lines:  i32[B] shared (flat VBR) or i32[F, L, B] per-frame (combo)
+    res0:     i32[L] starting reservoir fills (streaming resume)
+    base/cap: python ints — per-frame budget and reservoir cap
+
+    Returns (alloc i32[F, L, B], tid i32[F, L], used i32[F, L],
+    res i32[F, L]) — exactly what the lax.scan phase 2 of
+    codec._encode_vbr_lanes produces.
+    """
+    f, l, b = smr_q.shape
+    if b > LANES:
+        raise ValueError(f"vbr_reservoir_scan supports <= {LANES} bands")
+    lp = max(8, -(-l // 8) * 8)
+
+    # padded lanes/rows: smr = -inf, n_lines = 0 -> water_fill allocates
+    # nothing there and the price sums see zeros
+    smr_p = jnp.full((f, lp, LANES), -jnp.inf, jnp.float32)
+    smr_p = smr_p.at[:, :l, :b].set(smr_q.astype(jnp.float32))
+    n_lines = jnp.asarray(n_lines, jnp.int32)
+    if n_lines.ndim == 1:
+        nl_p = jnp.zeros((1, lp, LANES), jnp.int32) \
+            .at[0, :l, :b].set(jnp.broadcast_to(n_lines, (l, b)))
+        nl_map = lambda i: (0, 0, 0)
+    else:
+        nl_p = jnp.zeros((f, lp, LANES), jnp.int32) \
+            .at[:, :l, :b].set(n_lines)
+        nl_map = lambda i: (i, 0, 0)
+    bh_p = jnp.zeros((f, N_TAB, lp, LANES), jnp.int32) \
+        .at[:, :, :l, :b].set(jnp.moveaxis(bits_huf, -1, 1))
+    res0_p = jnp.zeros((lp, 1), jnp.int32).at[:l, 0].set(
+        res0.astype(jnp.int32))
+
+    alloc, tid, used, res = pl.pallas_call(
+        functools.partial(_scan_kernel, base=int(base), cap=int(cap),
+                          max_mant=max_mant, nb=b),
+        out_shape=(
+            jax.ShapeDtypeStruct((f, lp, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
+        ),
+        grid=(f,),
+        in_specs=[
+            pl.BlockSpec((1, lp, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, LANES), nl_map, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, N_TAB, lp, LANES), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((lp, 1), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, lp, LANES), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ),
+        scratch_shapes=[pltpu.VMEM((lp, 1), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=interpret,
+    )(smr_p, nl_p, bh_p, res0_p)
+    return (alloc[:, :l, :b], tid[:, :l, 0], used[:, :l, 0],
+            res[:, :l, 0])

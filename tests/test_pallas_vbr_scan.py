@@ -1,0 +1,84 @@
+"""Whole-chain Pallas reservoir-scan kernel (tac/ops/pallas_vbr_scan.py):
+alloc/tid/used/res equality vs the lax.scan reservoir chain (interpret
+mode on the CPU suite; on the real chip the compiled kernel is
+byte-parity-covered by the golden/huffman suites and measured in
+tools/bench_vbr.py)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from tac import bands, codec
+from tac.config import PRESETS
+from tac.huffman import MAX_M, MIN_M
+from tac.ops.pallas_vbr_scan import vbr_reservoir_scan
+
+NL = bands.lines_per_band(44100, 1024)
+NL_S = 2 * bands.lines_per_band(44100, 512)
+B = len(NL)
+CFG = PRESETS["vbr-huffman"]          # greedy, fast precision
+
+
+def _chain_ref(smr, bh, nl, res0, base, cap):
+    """The lax.scan path (CPU backend -> _use_pallas_alloc is False)."""
+    out = codec._reservoir_chain(jnp.asarray(smr), jnp.asarray(bh),
+                                 jnp.asarray(nl), jnp.asarray(res0),
+                                 base, cap, CFG)
+    return [np.asarray(x) for x in out]
+
+
+def _chain_kernel(smr, bh, nl, res0, base, cap):
+    from tac import bitalloc as ba
+
+    out = vbr_reservoir_scan(
+        ba.snap_smr(jnp.asarray(smr, jnp.float32)), jnp.asarray(bh),
+        jnp.asarray(nl), jnp.asarray(res0), base=base, cap=cap,
+        max_mant=16, nb=B, interpret=True)
+    return [np.asarray(x) for x in out]
+
+
+def _rand_inputs(rng, f, lanes, per_frame_nl=False):
+    smr = rng.normal(8, 22, (f, lanes, B)).astype(np.float32)
+    # plausible coded costs: raw cost at m with +-30% huffman spread
+    m = rng.integers(MIN_M, MAX_M + 1, (f, lanes, B, 7))
+    bh = (m * NL[None, None, :, None]
+          * rng.uniform(0.7, 1.3, m.shape)).astype(np.int32)
+    if per_frame_nl:
+        shrt = rng.random((f, lanes, 1)) < 0.4
+        nl = np.where(shrt, NL_S[None, None, :],
+                      NL[None, None, :]).astype(np.int32)
+    else:
+        nl = NL
+    return smr, bh, nl
+
+
+def test_scan_kernel_equals_lax_scan(rng):
+    smr, bh, nl = _rand_inputs(rng, 7, 3)
+    res0 = np.zeros(3, np.int32)
+    ref = _chain_ref(smr, bh, nl, res0, 700, 2800)
+    out = _chain_kernel(smr, bh, nl, res0, 700, 2800)
+    for r, o, name in zip(ref, out, ["alloc", "tid", "used", "res"]):
+        np.testing.assert_array_equal(r, o, err_msg=name)
+
+
+def test_scan_kernel_per_frame_n_lines(rng):
+    """The combo's windowState-selected band maps: n_lines i32[F, L, B]."""
+    smr, bh, nl = _rand_inputs(rng, 6, 2, per_frame_nl=True)
+    res0 = np.asarray([0, 137], np.int32)
+    ref = _chain_ref(smr, bh, nl, res0, 650, 2600)
+    out = _chain_kernel(smr, bh, nl, res0, 650, 2600)
+    for r, o, name in zip(ref, out, ["alloc", "tid", "used", "res"]):
+        np.testing.assert_array_equal(r, o, err_msg=name)
+
+
+def test_scan_kernel_resumes_mid_stream(rng):
+    """Chain split at frame k with carried fills == unsplit chain
+    (the streaming StreamState resume contract)."""
+    smr, bh, nl = _rand_inputs(rng, 8, 2)
+    res0 = np.zeros(2, np.int32)
+    full = _chain_kernel(smr, bh, nl, res0, 700, 2800)
+    head = _chain_kernel(smr[:5], bh[:5], nl, res0, 700, 2800)
+    tail = _chain_kernel(smr[5:], bh[5:], nl, head[3][-1], 700, 2800)
+    for f_, h, t, name in zip(full, head, tail,
+                              ["alloc", "tid", "used", "res"]):
+        np.testing.assert_array_equal(f_, np.concatenate([h, t]),
+                                      err_msg=name)
