@@ -39,6 +39,17 @@ LONG, START, SHORT, STOP = 0, 1, 2, 3
 EPS = 1e-12
 
 
+def _by_state(state, table):
+    """table[state] as a 4-way select instead of a gather (under vmap a
+    [K]-indexed gather from [4, N] lowers to per-element loops on TPU —
+    the recurring gather lesson, PERF.md)."""
+    out = table[0] * jnp.ones_like(state, dtype=table.dtype) \
+        if table.ndim == 1 else jnp.broadcast_to(table[0], table[0].shape)
+    for s_ in (1, 2, 3):
+        out = jnp.where(state == s_, table[s_], out)
+    return out
+
+
 class BsConsts(NamedTuple):
     """Host-built constants for the block-switching pipeline."""
     state_windows: jnp.ndarray   # [4, N] long/start/(unused)/stop windows
@@ -145,7 +156,7 @@ def analyze_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts):
     """frame: [N] (unwindowed), state: [] int32 → the budget-independent
     analysis half: (long lines [H], long smr [B], grouped-short lines
     [K*Hs·...] flattened, short smr [B])."""
-    w = c.state_windows[state]
+    w = _by_state(state, c.state_windows)
     if cfg.precision == "parity":
         lines_l = fb.mdct_fft(frame * w, c.cl.window.shape[0] // 2)
     else:
@@ -153,7 +164,7 @@ def analyze_frame_bs(frame, state, cfg: CodecConfig, c: BsConsts):
                           preferred_element_type=c.fwd_long.dtype)
     if cfg.use_psy:
         smr_l = psy_mod.calc_smrs(frame, lines_l, c.cl.psy,
-                                  mdct_gain=c.state_gain[state])
+                                  mdct_gain=_by_state(state, c.state_gain))
     else:
         smr_l = jnp.zeros(bands.N_BANDS, c.cl.dtype)
 
@@ -199,7 +210,7 @@ def decode_frame_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
         return scaled * jnp.exp2(-fc.ovs.astype(cc.dtype))
 
     lines_l = dequant(bc.long, c.cl)
-    w = c.state_windows[bc.state]
+    w = _by_state(bc.state, c.state_windows)
     if cfg.precision == "parity":
         y_long = fb.imdct_fft(lines_l, h) * w
     else:
@@ -212,7 +223,15 @@ def decode_frame_bs(bc: BsFrameCode, cfg: CodecConfig, c: BsConsts):
     else:
         y_sub = jnp.dot(lines_s, c.inv_short,
                         preferred_element_type=c.inv_short.dtype)
-    y_short = jnp.zeros(n, y_sub.dtype).at[c.sub_idx].add(y_sub)
+    # 50%-hop sub-blocks -> structured shifted-half sum + pad (no scatter;
+    # every sample gets <= 2 contributions, so float-identical to the
+    # index-order scatter-add: IEEE addition is commutative)
+    hs = n // (2 * c.k)
+    first, second = y_sub[..., :hs], y_sub[..., hs:]
+    zero = jnp.zeros_like(first[..., :1, :])
+    acc = (jnp.concatenate([first, zero], axis=-2)
+           + jnp.concatenate([zero, second], axis=-2))   # [K+1, Hs]
+    y_short = jnp.pad(acc.reshape(*acc.shape[:-2], -1), (c.h3, c.h3))
     return jnp.where(bc.state == SHORT, y_short.astype(y_long.dtype), y_long)
 
 
@@ -255,9 +274,10 @@ def select_code_bs(bc: BsFrameCode, c: BsConsts):
         scale=sel(bc.long.scale, bc.short.scale),
         mant=sel(bc.long.mant, bc.short.mant))
     alloc = codec_mod.ba.code_to_alloc(code.alloc_code)
-    bol = jnp.where(is_short[..., None],
-                    c.cg.band_of_line, c.cl.band_of_line)
-    m_line = jnp.take_along_axis(alloc, bol, axis=-1).astype(jnp.int32)
+    m_line = jnp.where(is_short[..., None],
+                       jnp.take(alloc, c.cg.band_of_line, axis=-1),
+                       jnp.take(alloc, c.cl.band_of_line, axis=-1)
+                       ).astype(jnp.int32)
     return code, m_line
 
 
@@ -449,15 +469,15 @@ def _unpack_bs_vbr_fields(wf, cfg: CodecConfig, c: BsConsts) -> BsFrameCode:
     sf_end = jnp.cumsum(sf_w, axis=1)
     sf = read_fields(wf, (4 + s + a * nb) + (sf_end - sf_w), sf_w)
 
-    bol = jnp.where((state == SHORT)[:, None],
-                    c.cg.band_of_line[None, :], c.cl.band_of_line[None, :])
-    m_line = jnp.take_along_axis(alloc, bol, axis=1).astype(jnp.int32)
+    m_line = jnp.where((state == SHORT)[:, None],
+                       jnp.take(alloc, c.cg.band_of_line, axis=1),
+                       jnp.take(alloc, c.cl.band_of_line, axis=1)
+                       ).astype(jnp.int32)
     mant_start = (4 + s + a * nb) + sf_end[:, -1]
     m_end = jnp.cumsum(m_line, axis=1)
     mant_raw = read_fields(wf, mant_start[:, None] + (m_end - m_line),
                            m_line)
-    mant_huf = codec_mod._huffman_decode_scan(wf, mant_start, m_line)
-    mant = jnp.where((tid == 1)[:, None], mant_huf, mant_raw)
+    mant = codec_mod._huffman_or_raw(wf, mant_start, m_line, tid, mant_raw)
     fc = codec_mod.FrameCode(ovs=ovs, alloc_code=alloc_code, scale=sf,
                              mant=mant)
     return BsFrameCode(state=state, long=fc, short=fc)
@@ -720,9 +740,11 @@ def _unpack_bs_fields(wf, cfg: CodecConfig, c: BsConsts) -> BsFrameCode:
     sf = read_fields(wf, (2 + s + a * nb) + (sf_end - sf_w), sf_w)
 
     # per-row line→band map: grouped short map for SHORT rows, long else
-    bol = jnp.where((state == SHORT)[:, None],
-                    c.cg.band_of_line[None, :], c.cl.band_of_line[None, :])
-    m_line = jnp.take_along_axis(alloc, bol, axis=1).astype(jnp.int32)
+    # (two static-index takes + select, not a per-row dynamic gather)
+    m_line = jnp.where((state == SHORT)[:, None],
+                       jnp.take(alloc, c.cg.band_of_line, axis=1),
+                       jnp.take(alloc, c.cl.band_of_line, axis=1)
+                       ).astype(jnp.int32)
     m_end = jnp.cumsum(m_line, axis=1)
     mant = read_fields(wf, (2 + s + a * nb) + sf_end[:, -1:]
                        + (m_end - m_line), m_line)
