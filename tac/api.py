@@ -221,29 +221,38 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     if x.ndim == 1:
         x = x[:, None]
     t, c = x.shape
+    if c > 64:
+        # a [C, T] array passed where [T, C] is expected silently becomes a
+        # T-channel encode (observed: a 2x132300 transpose -> 132300
+        # "channels" -> runaway memory). PAC-T caps channels well under 64.
+        raise ValueError(
+            f"encode_array expects float[T] or [T, C] (got {x.shape}: "
+            f"{c} channels) — transpose [C, T] input")
     if c != cfg.n_channels:
         cfg = cfg.replace(n_channels=c)
     h = cfg.n_mdct_lines
     n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    from tac.ops import bitpack as dbp
     if cfg.use_block_switch:
         from tac import blockswitch as bsw
-        from tac.ops import bitpack as dbp
         enc = (bsw.encode_clip_bs_vbr_packed if cfg.use_huffman
                else bsw.encode_clip_bs_packed)
+    elif cfg.use_huffman:
+        enc = codec.encode_clip_vbr_packed
+    else:
+        # bit-pack on device; only payload words cross the host link
+        enc = codec.encode_clip_packed
+    try:
         words, nbits = enc(x.T, cfg)
         payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
                                      np.asarray(nbits).swapaxes(0, 1))
-    elif cfg.use_huffman:
-        from tac.ops import bitpack as dbp
-        words, nbits = codec.encode_clip_vbr_packed(x.T, cfg)
-        payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
-                                     np.asarray(nbits).swapaxes(0, 1))
-    else:
-        # bit-pack on device; only payload words cross the host link
-        from tac.ops import bitpack as dbp
-        words, nbits = codec.encode_clip_packed(x.T, cfg)
-        payload = dbp.rows_to_stream(np.asarray(words).swapaxes(0, 1),
-                                     np.asarray(nbits).swapaxes(0, 1))
+    except Exception:
+        # backend worker fault with the auto-tuned fast row chunk: the PJRT
+        # client is unrecoverable in-process — downgrade the persisted
+        # chunk so the retrying process runs the safe size (tac/tuning.py)
+        from tac import tuning
+        tuning.record_fault()
+        raise
     hdr = bs.PacHeader(
         sample_rate=cfg.sample_rate, n_channels=c, num_samples=t,
         bitrate_bps=cfg.bitrate_bps, n_mdct_lines=h,

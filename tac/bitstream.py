@@ -67,7 +67,13 @@ def unpack_at(bits: np.ndarray, offsets: np.ndarray,
     fid = np.repeat(np.arange(m), widths)
     end = np.cumsum(widths)
     pos = np.arange(total, dtype=np.int64) - (end[fid] - widths[fid])
-    b = bits[offsets[fid] + pos].astype(np.int64)
+    idx = offsets[fid] + pos
+    if idx.size and (int(idx.min()) < 0 or int(idx.max()) >= len(bits)):
+        # corrupt offsets (bad alloc fields / truncated payload) land here;
+        # typed error, not a numpy IndexError (tests/test_fuzz.py)
+        from tac.native import CorruptStreamError
+        raise CorruptStreamError("field read past end of payload")
+    b = bits[idx].astype(np.int64)
     weight = np.int64(1) << (widths[fid] - 1 - pos)
     vals = np.bincount(fid, weights=(b * weight).astype(np.float64),
                        minlength=m)

@@ -503,8 +503,8 @@ def decode_clip_bs_vbr_packed(words, cfg: CodecConfig, t: int):
 def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
                     c: BsConsts) -> BsFrameCode:
     """[R, N] frames + [R] states → BsFrameCode [R, ...] in lax.map chunks
-    of codec.ENC_CHUNK rows (same program-size bound as the long path)."""
-    chunk = codec_mod.ENC_CHUNK
+    of codec._enc_chunk() rows (same program-size bound as the long path)."""
+    chunk = codec_mod._enc_chunk()
     r = frames_flat.shape[0]
     enc = jax.vmap(lambda fr, st: encode_frame_bs(fr, st, cfg, c))
     if r <= chunk:
@@ -522,7 +522,7 @@ def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]); all
-    leading axes flatten into one frame-row axis (ENC_CHUNK-bounded)."""
+    leading axes flatten into one frame-row axis (_enc_chunk-bounded)."""
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)

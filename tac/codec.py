@@ -176,13 +176,16 @@ def decode_frame(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 # --------------------------------------------------------- chunked encode ---
 
 # Max frame-rows per compiled program instance; lax.map chunks keep memory
-# bounded for arbitrarily long clips/batches (SURVEY.md §5.7). This box's
-# backend faults (worker crash) on programs past ~1.7k rows — even the
-# lean post-gather-elimination graph trips it INTERMITTENTLY at 2048
-# (measured faster when it survives: bench 843 vs 731 full), so the
-# default stays at the reliably-stable 1024. On healthy backends raise it
-# via TAC_ENC_CHUNK=2048.
-ENC_CHUNK = int(__import__("os").environ.get("TAC_ENC_CHUNK", 1024))
+# bounded for arbitrarily long clips/batches (SURVEY.md §5.7). 2048
+# measures ~+15% full path but some backends (this box's tunneled TPU
+# worker) fault intermittently past ~1.7k rows/program, so the effective
+# value is AUTO-TUNED: TAC_ENC_CHUNK env overrides, else a persistent
+# per-backend probe verdict picks 2048 (healthy) or 1024 (known-faulty).
+# Read at TRACE time — one value per process (tac/tuning.py).
+def _enc_chunk() -> int:
+    from tac import tuning
+
+    return tuning.enc_chunk()
 
 
 def _use_pallas_alloc(cfg: CodecConfig) -> bool:
@@ -228,13 +231,14 @@ def _encode_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
 
 def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
     """frames_flat: [R, N] → FrameCode with [R, ...] leaves, computed in
-    lax.map chunks of ENC_CHUNK rows."""
+    lax.map chunks of _enc_chunk() rows."""
+    chunk = _enc_chunk()
     r = frames_flat.shape[0]
-    if r <= ENC_CHUNK:
+    if r <= chunk:
         return _encode_rows_chunk(frames_flat, cfg, c)
-    pad = (-r) % ENC_CHUNK
+    pad = (-r) % chunk
     fp = jnp.pad(frames_flat, ((0, pad), (0, 0)))
-    chunks = fp.reshape(-1, ENC_CHUNK, fp.shape[-1])
+    chunks = fp.reshape(-1, chunk, fp.shape[-1])
     out = jax.lax.map(
         lambda fc: _encode_rows_chunk(fc, cfg, c), chunks)
     return jax.tree_util.tree_map(
@@ -322,7 +326,8 @@ def _encode_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
 
     All leading axes (batch, channels, frames) flatten into one row axis
-    so ENC_CHUNK bounds the per-program size regardless of batch shape.
+    so the auto-tuned row chunk bounds the per-program size regardless
+    of batch shape (_enc_chunk, tac/tuning.py).
     """
     from tac.ops.bitpack import pack_rows
 
@@ -358,6 +363,50 @@ def _encode_frames_packed(frames, cfg: CodecConfig):
     vals, wids = payload_fields(code, cfg, c)
     words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
     return words.reshape(*lead, words.shape[-1]), nbits.reshape(lead)
+
+
+def _frames_from_halves(prior, halves, dtype):
+    """prior [C, H] + halves [C, m, H] → frames [C, m, N]: frame j =
+    [h_{j-1} | h_j]. Built ON DEVICE so a streaming push uploads only the
+    new halves (half the bytes of pre-built 50%-overlap frames)."""
+    seq = jnp.concatenate([prior.astype(dtype)[:, None],
+                           halves.astype(dtype)], axis=1)
+    return jnp.concatenate([seq[:, :-1], seq[:, 1:]], axis=-1)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _encode_frames_packed_halves(prior, halves, cfg: CodecConfig):
+    """Streaming raw core: (prior [C, H], halves [C, m, H]) →
+    (words [C, m, W32], nbits [C, m]); frames form on device."""
+    c = make_consts(cfg)
+    return _encode_frames_packed(_frames_from_halves(prior, halves,
+                                                     c.dtype), cfg)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _encode_frames_vbr_packed(prior, halves, res0, cfg: CodecConfig):
+    """Streaming VBR core, fully device-packed: (prior [C, H], halves
+    [C, m, H], reservoir fills res0 [C]) → (words [C, m, W32],
+    nbits [C, m], res_steps [C, m]).
+
+    Same reservoir chain + field pack as the offline
+    _encode_vbr_packed_leading (stream bytes == offline bytes), but
+    resumed from carried fills and fed by on-device frame forming — a
+    push uploads H·m samples and pulls packed words (~the bitstream),
+    not FrameCode integer arrays (VERDICT r2 item 2: the host-pack
+    streaming path pulled ~20x the payload per push).
+    """
+    from tac import huffman as hf
+    from tac.ops.bitpack import pack_rows
+
+    c = make_consts(cfg)
+    cost_tab = hf.cost_table_jnp()
+    frames = _frames_from_halves(prior, halves, c.dtype)
+    codes, tids, _, res_steps = _encode_vbr_lanes(
+        frames, jnp.asarray(res0, jnp.int32), cfg, c, cost_tab)
+    vals, wids = payload_fields_vbr(codes, tids, cfg, c)
+    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    return words, nbits, res_steps
 
 
 # ------------------------------------------------- device-packed decode -----
@@ -599,6 +648,33 @@ def decode_clip_vbr_packed(words, cfg: CodecConfig, t: int):
     return _decode_clip_vbr_packed_impl(words, cfg, t)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _decode_frames_stream(words, tail, m, cfg: CodecConfig):
+    """Streaming decode core with ON-DEVICE overlap-add (tac/streaming.py).
+
+    words uint32[C, mb, W32] payload rows (rows >= m are bucket padding),
+    tail f[C, H] carried second halves, m int32 true frame count →
+    (out f[C, mb, H] finalized sample rows, new_tail f[C, H] =
+    seconds[:, m-1]). The per-push pull is halved vs pulling raw [.., 2H]
+    frames and the add runs fused with the decode graph; family selected
+    by cfg (same decoders as offline)."""
+    if cfg.use_block_switch:
+        from tac import blockswitch as bsw
+
+        dec = (bsw._decode_frames_bs_vbr if cfg.use_huffman
+               else bsw._decode_frames_bs)
+    else:
+        dec = _decode_frames_vbr if cfg.use_huffman else _decode_frames_packed
+    y = dec(words, cfg)                                   # [C, mb, 2H]
+    h = cfg.n_mdct_lines
+    firsts, seconds = y[..., :h], y[..., h:]
+    prev = jnp.concatenate([tail[:, None].astype(y.dtype),
+                            seconds[:, :-1]], axis=1)
+    new_tail = jax.lax.dynamic_index_in_dim(seconds, m - 1, axis=1,
+                                            keepdims=False)
+    return firsts + prev, new_tail
+
+
 # ----------------------------------------------------------- VBR (huffman) --
 
 class VbrCode(NamedTuple):
@@ -743,14 +819,15 @@ def _vbr_price(alloc, bits_huf, n_lines):
 
 
 def _map_row_chunks(fn, arrs, r: int):
-    """Apply fn(*row_chunks) over ENC_CHUNK-row chunks of [R, ...] arrays
-    (lax.map when R > ENC_CHUNK — the same program-size bound as
+    """Apply fn(*row_chunks) over _enc_chunk()-row chunks of [R, ...]
+    arrays (lax.map past the chunk bound — the same program-size cap as
     _encode_rows), concatenating the [chunk, ...] results back to [R, ...]."""
-    if r <= ENC_CHUNK:
+    chunk = _enc_chunk()
+    if r <= chunk:
         return fn(*arrs)
-    pad = (-r) % ENC_CHUNK
+    pad = (-r) % chunk
     chunks = [jnp.pad(a, ((0, pad),) + ((0, 0),) * (a.ndim - 1))
-              .reshape(-1, ENC_CHUNK, *a.shape[1:]) for a in arrs]
+              .reshape(-1, chunk, *a.shape[1:]) for a in arrs]
     out = jax.lax.map(lambda args: fn(*args), tuple(chunks))
     return jax.tree_util.tree_map(
         lambda l: l.reshape(-1, *l.shape[2:])[:r], out)

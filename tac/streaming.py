@@ -87,6 +87,15 @@ class StreamEncoder:
     The emitted byte stream concatenated after `header()` equals the
     corresponding offline `tac.api.encode_array` stream for the same total
     signal (same per-block payloads; verified in tests/test_streaming.py).
+
+    Bit-exactness vs offline holds for ANY push chunking in "parity"
+    precision (the f64 FFT analysis is batch-shape-stable). In "fast"
+    precision XLA may pick different f32 kernel schedules for different
+    batch shapes, so a push pattern whose frame batches differ from the
+    offline encode's can flip occasional 1/16-dB-grid allocation
+    decisions — byte-identical per-frame analysis is only guaranteed for
+    matching shapes; rate and quality are unaffected (a few +-1-bit
+    band allocations; tests/test_streaming.py pins both contracts).
     """
 
     def __init__(self, cfg: CodecConfig, n_channels: Optional[int] = None):
@@ -158,34 +167,34 @@ class StreamEncoder:
         return self._emit_flat(halves)
 
     def _emit_flat(self, halves: np.ndarray) -> bytes:
-        """Raw / VBR modes: each half h_j completes frame j = [h_{j-1}|h_j]."""
+        """Raw / VBR modes: each half h_j completes frame j = [h_{j-1}|h_j].
+
+        One device call per push: upload = the new halves (frames form
+        on device), pull = the packed payload words — both ~the size of
+        the audio/bitstream itself. VBR packs its fields on device too
+        (same pack as offline; the round-2 host-pack path pulled whole
+        FrameCode integer arrays per push, ~20x the payload)."""
         import jax.numpy as jnp
 
-        from tac import api, codec
+        from tac import codec
         from tac.ops import bitpack as dbp
 
         st, cfg = self.state, self.cfg
         c, m, h = halves.shape
-        seq = np.concatenate([st.prior[:, None], halves], axis=1)
-        frames = np.concatenate([seq[:, :m], seq[:, 1:m + 1]], axis=-1)
         mb = _bucket(m)
         dt = np.float64 if cfg.precision == "parity" else np.float32
-        fp = jnp.asarray(np.pad(frames, ((0, 0), (0, mb - m), (0, 0)))
+        hp = jnp.asarray(np.pad(halves, ((0, 0), (0, mb - m), (0, 0)))
                          .astype(dt))          # upload in compute dtype
+        prior = jnp.asarray(st.prior.astype(dt))
         st.prior = halves[:, -1].copy()
         st.blocks_out += m
         if cfg.use_huffman:
             res0 = jnp.asarray(st.reservoir, jnp.int32)
-            vbr, res_steps = codec._encode_frames_vbr(fp, res0, cfg)
+            words, nbits, res_steps = codec._encode_frames_vbr_packed(
+                prior, hp, res0, cfg)
             st.reservoir = np.asarray(res_steps)[:, m - 1].astype(np.int64)
-            cut = codec.VbrCode(                       # drop bucket padding
-                code=codec.FrameCode(*[np.asarray(l)[:, :m]
-                                       for l in vbr.code]),
-                table_id=np.asarray(vbr.table_id)[:, :m],
-                used_bits=np.asarray(vbr.used_bits)[:, :m])
-            n_lines = bands.lines_per_band(cfg.sample_rate, h)
-            return api.frames_to_payload_vbr(cut, cfg, h, n_lines)
-        words, nbits = codec._encode_frames_packed(fp, cfg)
+        else:
+            words, nbits = codec._encode_frames_packed_halves(prior, hp, cfg)
         return dbp.rows_to_stream(np.asarray(words)[:, :m].swapaxes(0, 1),
                                   np.asarray(nbits)[:, :m].swapaxes(0, 1))
 
@@ -320,19 +329,20 @@ class StreamDecoder:
             rows.reshape(m, c, w32).swapaxes(0, 1))       # [C, M, W32]
         mb = _bucket(m)
         wp = jnp.asarray(np.pad(words, ((0, 0), (0, mb - m), (0, 0))))
-        y = np.asarray(self._frame_decoder()(wp, cfg))[:, :m]  # [C, m, 2H]
+        priming = self.tail is None           # frame 0 is the priming block
+        tail = (np.zeros((c, h), np.float32) if priming else self.tail)
+        from tac import codec
+        out_d, ntail = codec._decode_frames_stream(
+            wp, jnp.asarray(tail), jnp.asarray(m, jnp.int32), cfg)
         self.frames_in += m
-
-        firsts, seconds = y[..., :h], y[..., h:]
-        if self.tail is None:                 # frame 0 is the priming block
-            self.tail = seconds[:, 0].copy()  # copy: don't pin the batch
-            firsts, seconds = firsts[:, 1:], seconds[:, 1:]
+        self.tail = np.asarray(ntail)
+        out = np.asarray(out_d)[:, :m]                    # [C, m, H]
+        if priming:                           # first output row is invalid
+            out = out[:, 1:]
             m -= 1
             if m == 0:
                 return np.zeros((0, c), np.float32)
-        prev = np.concatenate([self.tail[:, None], seconds[:, :-1]], axis=1)
-        self.tail = seconds[:, -1].copy()
-        out = (firsts + prev).reshape(c, m * h).T.astype(np.float32)
+        out = out.reshape(c, m * h).T.astype(np.float32)
         if self.num_samples:
             out = out[: max(self.num_samples - self.emitted, 0)]
         self.emitted += out.shape[0]

@@ -181,3 +181,43 @@ def test_stream_decode_rejects_oversize_block(clip):
     bogus = struct.pack("<H", 0xFFF0) + b"\x00" * 0xFFF0
     with pytest.raises(CorruptStreamError):
         dec.push(bogus)
+
+
+def test_chunked_stereo_parity_equals_offline(clip):
+    """Chunked stereo pushes, parity precision: bit-exact vs offline for
+    the flat-VBR path (the original chunk-invariance test only covered
+    mono streaming-ll; a stereo fast-mode ulp flip hid here untested)."""
+    x, fs = clip
+    x2 = np.stack([x, 0.7 * x], axis=1)
+    cfg = PRESETS["vbr-huffman"].replace(precision="parity", sample_rate=fs)
+    enc = StreamEncoder(cfg, n_channels=2)
+    out = [enc.header(len(x2))]
+    for i in range(0, len(x2), 3000):
+        out.append(enc.push(x2[i:i + 3000]))
+    out.append(enc.flush())
+    assert b"".join(out) == api.encode_array(x2, cfg)
+
+
+def test_chunked_fast_mode_contract(clip):
+    """Fast precision: chunked pushes may legally differ from offline by
+    occasional grid-tie allocation flips (XLA f32 kernels are batch-
+    shape-dependent), but rate stays within 0.1% and the decoded PCM of
+    stream vs offline must agree to >= 40 dB."""
+    x, fs = clip
+    x2 = np.stack([x, 0.7 * x], axis=1)
+    cfg = PRESETS["vbr-huffman"].replace(sample_rate=fs)
+    offline = api.encode_array(x2, cfg)
+    enc = StreamEncoder(cfg, n_channels=2)
+    out = [enc.header(len(x2))]
+    for i in range(0, len(x2), 3000):
+        out.append(enc.push(x2[i:i + 3000]))
+    out.append(enc.flush())
+    stream = b"".join(out)
+    assert abs(len(stream) - len(offline)) <= max(4, len(offline) // 1000)
+    ys, _ = api.decode_array(stream, precision="fast")
+    yo, _ = api.decode_array(offline, precision="fast")
+    n = min(len(ys), len(yo))
+    err = ys[:n] - yo[:n]
+    snr = 10 * np.log10(np.sum(yo[:n] ** 2)
+                        / max(np.sum(err ** 2), 1e-30))
+    assert snr >= 40.0, snr

@@ -49,7 +49,7 @@ def main() -> None:
 
     fs = 44100
     modes = {"raw": "stereo44-128", "vbr": "vbr-huffman",
-             "bs": "blockswitch", "combo": "vbr-bs"}
+             "bs": "streaming-ll", "combo": "vbr-bs"}
     out = {"backend": jax.default_backend(),
            "null_dispatch_ms": round(null_dispatch_ms(), 1)}
 

@@ -54,7 +54,7 @@ def main() -> None:
         "maskers_16": base.replace(max_maskers=16),
     }
     out = {"warmstart": not os.environ.get("TAC_NO_WARMSTART"),
-           "enc_chunk": codec.ENC_CHUNK, "backend": jax.default_backend()}
+           "enc_chunk": codec._enc_chunk(), "backend": jax.default_backend()}
     iters = 10
     for name, cfg in ablations.items():
         w, n = codec.encode_clip_packed(x, cfg)
