@@ -19,6 +19,8 @@ Each step first runs the in-kernel warm start
 per-iteration sync) so the data-dependent while_loop tail shrinks
 ~70 → ~17 iterations; the while_loop's vector→scalar condition sync is
 the per-iteration cost inside a kernel, so trip count is everything.
+TAC_VBR_SCAN_G batches G frames per grid step (block-swap amortization;
+measured neutral on this box, kept for DMA-latency-bound backends).
 
 Serves both reservoir flavors (n_lines may be per-frame for the
 windowState-aware combo scan, tac/blockswitch.py): alloc/tid/used/res
@@ -43,40 +45,50 @@ N_TAB = MAX_M - MIN_M + 1
 
 def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                  alloc_ref, tid_ref, used_ref, res_ref, res_scr, *,
-                 base: int, cap: int, max_mant: int, nb: int):
+                 base: int, cap: int, max_mant: int, nb: int,
+                 g: int, f: int, nl_per_frame: bool):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
     def _init():
         res_scr[:] = res0_ref[:]                     # [Lp, 1] i32
 
-    res = res_scr[:]                                 # [Lp, 1] i32, in [0, cap]
-    smr = smr_ref[0]                                 # [Lp, 128] f32 (-inf pad)
-    nl = nl_ref[0]                                   # [Lp, 128] i32 (0 pad)
+    # G frames per grid step (unrolled): amortizes per-step block-swap
+    # latency on DMA-latency-bound backends (measured neutral on this
+    # box's noisy tunnel -> default G=1, see the host wrapper). Sub-steps
+    # past the true frame count F are skipped (pl.when), leaving the
+    # reservoir scratch untouched; their output rows are host-sliced.
+    for gg in range(g):
+        @pl.when(i * g + gg < f)
+        def _step(gg=gg):
+            res = res_scr[:]                         # [Lp, 1] i32 in [0, cap]
+            smr = smr_ref[gg]                        # [Lp, 128] f32 (-inf pad)
+            nl = nl_ref[gg if nl_per_frame else 0]   # [Lp, 128] i32 (0 pad)
 
-    alloc0, rem = warm_start_tile(smr, nl, base + res,
-                                  max_mant=max_mant, nb=nb)
-    alloc = water_fill_tile(smr, nl, alloc0, rem,
-                            max_mant=max_mant, nb=nb)
+            alloc0, rem = warm_start_tile(smr, nl, base + res,
+                                          max_mant=max_mant, nb=nb)
+            alloc = water_fill_tile(smr, nl, alloc0, rem,
+                                    max_mant=max_mant, nb=nb)
 
-    # pricing: integer-identical to codec._vbr_price (raw = Σ alloc·n_lines;
-    # huffman swaps in the precomputed coded band cost at codable allocs)
-    raw_b = alloc * nl                               # [Lp, 128]
-    huf_b = raw_b
-    for m in range(MIN_M, MAX_M + 1):
-        huf_b = jnp.where(alloc == m, bh_ref[0, m - MIN_M], huf_b)
-    raw = jnp.sum(raw_b, axis=1, keepdims=True,
-                  dtype=jnp.int32)                   # [Lp, 1]
-    huf = jnp.sum(huf_b, axis=1, keepdims=True, dtype=jnp.int32)
-    tid = (huf < raw).astype(jnp.int32)
-    used = jnp.minimum(raw, huf)
-    res2 = jnp.clip(res + base - used, 0, cap).astype(jnp.int32)
+            # pricing: integer-identical to codec._vbr_price (raw =
+            # Σ alloc·n_lines; huffman swaps in the precomputed coded
+            # band cost at codable allocs)
+            raw_b = alloc * nl                       # [Lp, 128]
+            huf_b = raw_b
+            for m in range(MIN_M, MAX_M + 1):
+                huf_b = jnp.where(alloc == m, bh_ref[gg, m - MIN_M], huf_b)
+            raw = jnp.sum(raw_b, axis=1, keepdims=True,
+                          dtype=jnp.int32)           # [Lp, 1]
+            huf = jnp.sum(huf_b, axis=1, keepdims=True, dtype=jnp.int32)
+            tid = (huf < raw).astype(jnp.int32)
+            used = jnp.minimum(raw, huf)
+            res2 = jnp.clip(res + base - used, 0, cap).astype(jnp.int32)
 
-    alloc_ref[0] = alloc
-    tid_ref[0] = tid
-    used_ref[0] = used
-    res_ref[0] = res2
-    res_scr[:] = res2
+            alloc_ref[gg] = alloc
+            tid_ref[gg] = tid
+            used_ref[gg] = used
+            res_ref[gg] = res2
+            res_scr[:] = res2
 
 
 @functools.partial(
@@ -96,56 +108,70 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     res i32[F, L]) — exactly what the lax.scan phase 2 of
     codec._encode_vbr_lanes produces.
     """
+    import os
+
     f, l, b = smr_q.shape
     if b > LANES:
         raise ValueError(f"vbr_reservoir_scan supports <= {LANES} bands")
     lp = max(8, -(-l // 8) * 8)
+    # frames per grid step: measured NEUTRAL on this box (within-process
+    # interleaved A/B, G in {1,2,4,8}: 137-148 ms medians on a 2585-step
+    # chain, inside the tunnel's noise band), so the default stays 1 for
+    # the cheapest compile; the G-batch path remains for DMA-latency-
+    # bound backends (tests pin G=2 for parity coverage)
+    g = max(int(os.environ.get("TAC_VBR_SCAN_G", 1)), 1)
+    fp = -(-f // g) * g
+    n_grid = fp // g
 
     # padded lanes/rows: smr = -inf, n_lines = 0 -> water_fill allocates
-    # nothing there and the price sums see zeros
-    smr_p = jnp.full((f, lp, LANES), -jnp.inf, jnp.float32)
-    smr_p = smr_p.at[:, :l, :b].set(smr_q.astype(jnp.float32))
+    # nothing there and the price sums see zeros. Padded FRAMES (f..fp)
+    # are skipped entirely in-kernel (pl.when), so their values never run.
+    smr_p = jnp.full((fp, lp, LANES), -jnp.inf, jnp.float32)
+    smr_p = smr_p.at[:f, :l, :b].set(smr_q.astype(jnp.float32))
     n_lines = jnp.asarray(n_lines, jnp.int32)
-    if n_lines.ndim == 1:
+    nl_per_frame = n_lines.ndim != 1
+    if not nl_per_frame:
         nl_p = jnp.zeros((1, lp, LANES), jnp.int32) \
             .at[0, :l, :b].set(jnp.broadcast_to(n_lines, (l, b)))
         nl_map = lambda i: (0, 0, 0)
     else:
-        nl_p = jnp.zeros((f, lp, LANES), jnp.int32) \
-            .at[:, :l, :b].set(n_lines)
+        nl_p = jnp.zeros((fp, lp, LANES), jnp.int32) \
+            .at[:f, :l, :b].set(n_lines)
         nl_map = lambda i: (i, 0, 0)
-    bh_p = jnp.zeros((f, N_TAB, lp, LANES), jnp.int32) \
-        .at[:, :, :l, :b].set(jnp.moveaxis(bits_huf, -1, 1))
+    bh_p = jnp.zeros((fp, N_TAB, lp, LANES), jnp.int32) \
+        .at[:f, :, :l, :b].set(jnp.moveaxis(bits_huf, -1, 1))
     res0_p = jnp.zeros((lp, 1), jnp.int32).at[:l, 0].set(
         res0.astype(jnp.int32))
 
     alloc, tid, used, res = pl.pallas_call(
         functools.partial(_scan_kernel, base=int(base), cap=int(cap),
-                          max_mant=max_mant, nb=b),
+                          max_mant=max_mant, nb=b, g=g, f=f,
+                          nl_per_frame=nl_per_frame),
         out_shape=(
-            jax.ShapeDtypeStruct((f, lp, LANES), jnp.int32),
-            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
-            jax.ShapeDtypeStruct((f, lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((fp, lp, LANES), jnp.int32),
+            jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),
+            jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),
         ),
-        grid=(f,),
+        grid=(n_grid,),
         in_specs=[
-            pl.BlockSpec((1, lp, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, lp, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, LANES), nl_map, memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N_TAB, lp, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec(((g if nl_per_frame else 1), lp, LANES), nl_map,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((g, N_TAB, lp, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=(
-            pl.BlockSpec((1, lp, LANES), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, lp, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, lp, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, lp, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, lp, 1), lambda i: (i, 0, 0),
+            pl.BlockSpec((g, lp, 1), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),
         ),
         scratch_shapes=[pltpu.VMEM((lp, 1), jnp.int32)],
@@ -153,5 +179,5 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
             dimension_semantics=("arbitrary",)),
         interpret=interpret,
     )(smr_p, nl_p, bh_p, res0_p)
-    return (alloc[:, :l, :b], tid[:, :l, 0], used[:, :l, 0],
-            res[:, :l, 0])
+    return (alloc[:f, :l, :b], tid[:f, :l, 0], used[:f, :l, 0],
+            res[:f, :l, 0])

@@ -60,8 +60,11 @@ def test_scan_kernel_equals_lax_scan(rng):
         np.testing.assert_array_equal(r, o, err_msg=name)
 
 
-def test_scan_kernel_per_frame_n_lines(rng):
-    """The combo's windowState-selected band maps: n_lines i32[F, L, B]."""
+def test_scan_kernel_per_frame_n_lines(rng, monkeypatch):
+    """The combo's windowState-selected band maps: n_lines i32[F, L, B];
+    also pins the G-batched grid (G=2, F=6 not divisible -> exercises the
+    pl.when sub-step skip)."""
+    monkeypatch.setenv("TAC_VBR_SCAN_G", "2")
     smr, bh, nl = _rand_inputs(rng, 6, 2, per_frame_nl=True)
     res0 = np.asarray([0, 137], np.int32)
     ref = _chain_ref(smr, bh, nl, res0, 650, 2600)

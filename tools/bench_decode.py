@@ -32,7 +32,7 @@ def main() -> None:
     from tac.dsp.mdct import num_frames
     from tac.ops import bitpack as dbp
 
-    secs = float(os.environ.get("TAC_BENCH_SECONDS", 15))
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", 60))
     fs = 44100
     t = np.arange(int(fs * secs)) / fs
     rng = np.random.default_rng(0)
@@ -50,10 +50,12 @@ def main() -> None:
 
         y = api.decode_array(data, precision="fast")  # compile warm
         iters = 5
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(iters):
+            t0 = time.perf_counter()
             y, _ = api.decode_array(data, precision="fast")
-        dt = (time.perf_counter() - t0) / iters
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
         out[f"{name}_full"] = round(secs / dt, 1)
 
         # device-only: pre-staged words resident on device, jitted decode,
@@ -77,11 +79,16 @@ def main() -> None:
         rows = dbp.stream_to_rows(data, offs, lens, w32)
         words = jax.device_put(jnp.asarray(np.ascontiguousarray(
             rows.reshape(f, c, w32).swapaxes(0, 1))))
-        dec(words, dcfg, hdr.num_samples).block_until_ready()
-        t0 = time.perf_counter()
+        # fence with a scalar pull: block_until_ready is unreliable over
+        # this remote tunnel (bench.py's long-standing note)
+        devfn = jax.jit(lambda w: jnp.sum(dec(w, dcfg, hdr.num_samples)))
+        np.asarray(devfn(words))
+        ts = []
         for _ in range(iters):
-            dec(words, dcfg, hdr.num_samples).block_until_ready()
-        dt = (time.perf_counter() - t0) / iters
+            t0 = time.perf_counter()
+            np.asarray(devfn(words))
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
         out[f"{name}_device"] = round(secs / dt, 1)
 
         # batched full path: 8 clips per dispatch, the symmetric mirror of
@@ -105,10 +112,12 @@ def main() -> None:
                 wb, dcfg, hdr.num_samples, pcm16=True))
 
         batched_decode()                             # compile warm
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(iters):
+            t0 = time.perf_counter()
             batched_decode()
-        dt = (time.perf_counter() - t0) / iters
+            ts.append(time.perf_counter() - t0)
+        dt = float(np.median(ts))
         out[f"{name}_batched_full"] = round(b * secs / dt, 1)
 
     print(json.dumps({"metric": "decode_throughput",

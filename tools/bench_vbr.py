@@ -31,7 +31,7 @@ def main() -> None:
     from tac import codec
     from tac.config import PRESETS
 
-    secs = float(os.environ.get("TAC_BENCH_SECONDS", 15))
+    secs = float(os.environ.get("TAC_BENCH_SECONDS", 60))
     iters = int(os.environ.get("TAC_BENCH_ITERS", 5))
     fs = 44100
     t = np.arange(int(fs * secs)) / fs
@@ -45,12 +45,16 @@ def main() -> None:
 
     def timeit(fn):
         # np.asarray on a tiny output fences execution on the axon backend
-        # (block_until_ready is a no-op over the remote tunnel)
+        # (block_until_ready is a no-op over the remote tunnel); median of
+        # `iters` — this box's per-dispatch RPC (~27 ms) makes short-clip
+        # means overhead-dominated, so default secs is 60 (PERF.md)
         fn()
-        t0 = time.perf_counter()
+        ts = []
         for _ in range(iters):
+            t0 = time.perf_counter()
             fn()
-        return (time.perf_counter() - t0) / iters
+            ts.append(time.perf_counter() - t0)
+        return float(np.median(ts))
 
     # --- flat huffman VBR, single clip
     cfg = PRESETS["vbr-huffman"]
