@@ -139,3 +139,25 @@ def test_fuzz_split_blocks_both_paths(streams, rng):
                 outs.append("corrupt")
         nat._lib = real_lib
         assert outs[0] == outs[1], f"native vs fallback diverged: {outs}"
+
+
+def test_fuzz_stream_decoder(streams, rng):
+    """StreamDecoder.push with corrupt bytes under random chunking: typed
+    error or finite shape-correct output, never a crash/hang."""
+    from tac.streaming import StreamDecoder
+
+    data, off = streams["vbr"]
+    for i, mutant in enumerate(_mutations(data, off, rng)):
+        if i % 5:                        # slower surface; sample 1/5
+            continue
+        try:
+            dec, o = StreamDecoder.from_header(mutant)
+            pos = o
+            while pos < len(mutant):
+                n = int(rng.integers(1, 900))
+                y = dec.push(mutant[pos:pos + n])
+                assert y.shape[1] == dec.cfg.n_channels
+                assert np.all(np.isfinite(y))
+                pos += n
+        except ALLOWED:
+            pass
