@@ -215,16 +215,14 @@ def _encode_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
     lines, smr = jax.vmap(lambda fr: analyze_frame(fr, cfg, c))(frames_chunk)
     smr_eff = jnp.zeros_like(smr) if cfg.alloc_mode == "uniform" else smr
     smr_q = ba.snap_smr(smr_eff)
-    if ba._USE_WARM_START:
-        a0, r0 = jax.vmap(lambda s: ba._warm_start(
-            s, c.n_lines, c.budget,
-            min(cfg.max_mant_bits, ba.MANT_MAX)))(smr_q)
-    else:
-        a0 = jnp.zeros(smr_q.shape, jnp.int32)
-        r0 = jnp.full(smr_q.shape[:1], c.budget, jnp.int32)
+    # warm start runs IN-KERNEL (warm_start_tile) from the raw budgets —
+    # the external XLA bisection was ~64 sequential fusions per chunk
+    a0 = jnp.zeros(smr_q.shape, jnp.int32)
+    r0 = jnp.full(smr_q.shape[:1], c.budget, jnp.int32)
     alloc = water_fill_rows(smr_q, c.n_lines, a0, r0,
                             max_mant=cfg.max_mant_bits,
-                            nb=int(c.n_lines.shape[0]))
+                            nb=int(c.n_lines.shape[0]),
+                            warm=ba._USE_WARM_START)
     return jax.vmap(lambda l, al: quantize_given_alloc(l, al, cfg, c))(
         lines, alloc)
 
@@ -743,20 +741,12 @@ def _alloc_rows(smr, budgets, cfg: CodecConfig, n_lines):
 
     smr_eff = jnp.zeros_like(smr) if cfg.alloc_mode == "uniform" else smr
     smr_q = ba.snap_smr(smr_eff)
-    if ba._USE_WARM_START:
-        maxm = min(cfg.max_mant_bits, ba.MANT_MAX)
-        if per_row:
-            a0, r0 = jax.vmap(lambda s, bg, nl: ba._warm_start(
-                s, nl, bg, maxm))(smr_q, budgets, n_lines)
-        else:
-            a0, r0 = jax.vmap(lambda s, bg: ba._warm_start(
-                s, n_lines, bg, maxm))(smr_q, budgets)
-    else:
-        a0 = jnp.zeros(smr_q.shape, jnp.int32)
-        r0 = budgets.astype(jnp.int32)
+    a0 = jnp.zeros(smr_q.shape, jnp.int32)
+    r0 = budgets.astype(jnp.int32)
     return water_fill_rows(smr_q, n_lines, a0, r0,
                            max_mant=cfg.max_mant_bits,
-                           nb=int(n_lines.shape[-1]))
+                           nb=int(n_lines.shape[-1]),
+                           warm=ba._USE_WARM_START)
 
 
 def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):

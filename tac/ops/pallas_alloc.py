@@ -179,21 +179,32 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
 
 
 def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
-            max_mant: int, nb: int):
-    out_ref[:] = water_fill_tile(smr_ref[:], nl_ref[:], alloc0_ref[:],
-                                 rem0_ref[:], max_mant=max_mant, nb=nb)
+            max_mant: int, nb: int, warm: bool):
+    if warm:
+        # in-kernel warm start from raw budgets: deletes the ~64
+        # sequential XLA bisection fusions the callers used to run
+        # before this kernel (straight-line inside, no launch cost)
+        alloc0, rem0 = warm_start_tile(smr_ref[:], nl_ref[:], rem0_ref[:],
+                                       max_mant=max_mant, nb=nb)
+    else:
+        alloc0, rem0 = alloc0_ref[:], rem0_ref[:]
+    out_ref[:] = water_fill_tile(smr_ref[:], nl_ref[:], alloc0, rem0,
+                                 max_mant=max_mant, nb=nb)
 
 
 @functools.partial(jax.jit,
-                   static_argnames=("max_mant", "nb", "interpret"))
+                   static_argnames=("max_mant", "nb", "interpret", "warm"))
 def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
-                    nb: int, interpret: bool = False):
+                    nb: int, interpret: bool = False, warm: bool = False):
     """Batched greedy water-fill: the while_loop phase of
     tac.bitalloc.water_fill over a whole row block in one kernel.
 
     smr_q:  f32[R, B] grid-snapped SMRs
     n_lines: i32[B], or i32[R, B] per-row (the combo's state-selected maps)
-    alloc0: i32[R, B], rem0: i32[R] — the warm-start state
+    alloc0: i32[R, B], rem0: i32[R] — the warm-start state; with
+    warm=True pass rem0 = the RAW budgets (alloc0 ignored, may be zeros)
+    and the water-level warm start runs in-kernel (warm_start_tile) —
+    allocation-identical either way (the warm start is exact).
     Returns i32[R, B] final allocations (== jax.vmap(water_fill) exactly).
     """
     r, b = smr_q.shape
@@ -221,7 +232,8 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
         rem0.astype(jnp.int32))
 
     out = pl.pallas_call(
-        functools.partial(_kernel, max_mant=min(max_mant, MANT_MAX), nb=b),
+        functools.partial(_kernel, max_mant=min(max_mant, MANT_MAX), nb=b,
+                          warm=warm),
         out_shape=jax.ShapeDtypeStruct((rp, LANES), jnp.int32),
         grid=(grid,),
         in_specs=[

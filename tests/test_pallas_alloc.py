@@ -66,3 +66,19 @@ def test_kernel_equals_oracle(rng):
         want = BitAlloc(1282, 16, len(NL), np.asarray(NL),
                         smr_q[i].astype(np.float64))
         np.testing.assert_array_equal(out[i], want, err_msg=str(i))
+
+
+def test_kernel_in_kernel_warm_start(rng):
+    """warm=True (warm_start_tile runs inside the kernel from raw
+    budgets) must equal the externally-warm-started call exactly."""
+    smr = rng.normal(10, 25, (32, len(NL))).astype(np.float32)
+    smr_q = ba.snap_smr(jnp.asarray(smr))
+    a0, r0 = jax.vmap(lambda s: ba._warm_start(s, NL, 1282, 16))(smr_q)
+    ext = water_fill_rows(smr_q, jnp.asarray(NL), a0, r0,
+                          max_mant=16, nb=len(NL), interpret=True)
+    zeros = jnp.zeros(smr_q.shape, jnp.int32)
+    budgets = jnp.full((len(smr),), 1282, jnp.int32)
+    ink = water_fill_rows(smr_q, jnp.asarray(NL), zeros, budgets,
+                          max_mant=16, nb=len(NL), interpret=True,
+                          warm=True)
+    np.testing.assert_array_equal(np.asarray(ext), np.asarray(ink))
