@@ -990,22 +990,6 @@ def encode_clip_vbr_packed(x, cfg: CodecConfig):
     return _encode_clip_vbr_packed_impl(x, cfg)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _encode_frames_vbr(frames, res0, cfg: CodecConfig):
-    """Pre-framed [C, F, N] + reservoir fills [C] → (VbrCode, res [C, F]).
-
-    Streaming VBR core (tac/streaming.py): the same reservoir scan as the
-    offline clip path, resumed from carried fills, so stream == offline.
-    """
-    from tac import huffman as hf
-
-    c = make_consts(cfg)
-    cost_tab = hf.cost_table_jnp()
-    codes, tids, used, res_steps = _encode_vbr_lanes(
-        frames.astype(c.dtype), res0, cfg, c, cost_tab)
-    return VbrCode(code=codes, table_id=tids, used_bits=used), res_steps
-
-
 # ------------------------------------------------------- clip-level entry ---
 
 @partial(jax.jit, static_argnums=(1,))

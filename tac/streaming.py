@@ -8,7 +8,7 @@ sufficient to resume an encode mid-stream bit-exactly.
 
 TPU-native design: every `push` encodes ALL newly-completed frames in one
 batched jitted call through the SAME cores as the offline clip path
-(`codec._encode_frames_packed` / `codec._encode_frames_vbr` /
+(`codec._encode_frames_packed_halves` / `codec._encode_frames_vbr_packed` /
 `blockswitch._encode_frames_bs_packed`), so the emitted bytes equal the
 offline `tac.api.encode_array` bytes by construction — there is no separate
 streaming codepath to drift. Frame counts are padded to power-of-two
@@ -280,16 +280,6 @@ class StreamDecoder:
         else:
             cap = codec.payload_capacity_bits(cfg)
         return -(-cap // 32)
-
-    def _frame_decoder(self):
-        from tac import codec
-
-        if self.cfg.use_block_switch:
-            from tac import blockswitch as bsw
-            return (bsw._decode_frames_bs_vbr if self.cfg.use_huffman
-                    else bsw._decode_frames_bs)
-        return (codec._decode_frames_vbr if self.cfg.use_huffman
-                else codec._decode_frames_packed)
 
     # -------------------------------------------------------------- public --
 
