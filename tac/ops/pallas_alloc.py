@@ -32,23 +32,29 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tac.bitalloc import DEC_TABLE, MANT_MAX
 
-LANES = 128          # band axis padded to one VPU lane group
-ROW_BLK = 256        # rows per grid program
+LANES = 128          # lane-group width (bands in the VBR-scan layout,
+                     # rows per grid program in the row-block kernel)
 
 
-def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int):
+def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
+                    band_axis: int = 1):
     """The greedy water-fill while_loop on VMEM-resident tiles.
 
-    smr f32[R, 128], n_lines i32[R, 128], alloc0 i32[R, 128],
-    rem0 i32[R, 1] → alloc i32[R, 128]. Shared by the row-block kernel
-    below and the VBR reservoir-scan kernel (tac/ops/pallas_vbr_scan.py)
-    so both replay tac.bitalloc.water_fill's decision chain from ONE body.
-    Padded lanes (band >= nb) must carry smr = -inf / n_lines = 0.
+    With band_axis=1 (the VBR reservoir-scan layout): smr f32[R, 128],
+    n_lines i32[R, 128], alloc0 i32[R, 128], rem0 i32[R, 1] →
+    alloc i32[R, 128]. With band_axis=0 (the row-block kernel below):
+    bands live on the SUBLANE axis (padded to a multiple of 8, ~1.3x
+    waste instead of the lane layout's 128/25 ≈ 5x) and rows on lanes —
+    same math, reductions run along sublanes. Shared by both kernels so
+    they replay tac.bitalloc.water_fill's decision chain from ONE body.
+    Padded band positions (band >= nb) must carry smr = -inf / n_lines = 0.
     """
     dec32 = [np.float32(v) for v in DEC_TABLE]      # same constants as XLA
     neg = jnp.float32(-np.inf)
-    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, 1)
-    pad = band >= nb                                 # padded lanes: inert
+    ax = band_axis
+    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, ax)
+    band_pad = smr.shape[ax]
+    pad = band >= nb                                 # padded positions: inert
     valid_band = (n_lines > 0) & ~pad
 
     def dec_of(alloc):
@@ -63,22 +69,22 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int):
         need = smr - dec_of(alloc)
         eligible = (frozen == 0) & (alloc < max_mant) & valid_band \
             & (n_lines <= rem)
-        any_grant = jnp.any(eligible, axis=1, keepdims=True)     # [RB, 1]
+        any_grant = jnp.any(eligible, axis=ax, keepdims=True)    # [.., 1]
 
         # ---- grant branch: argmax need, ties -> lowest band index
         masked = jnp.where(eligible, need, neg)
-        mx = jnp.max(masked, axis=1, keepdims=True)
+        mx = jnp.max(masked, axis=ax, keepdims=True)
         at_max = eligible & (masked == mx)
-        bsel = jnp.min(jnp.where(at_max, band, LANES), axis=1,
-                       keepdims=True)                            # [RB, 1]
-        onehot = band == bsel                                    # [RB, 128]
+        bsel = jnp.min(jnp.where(at_max, band, band_pad), axis=ax,
+                       keepdims=True)
+        onehot = band == bsel
         pick = lambda a, zero: jnp.sum(jnp.where(onehot, a, zero),
-                                       axis=1, keepdims=True)
+                                       axis=ax, keepdims=True)
         n_b = pick(n_lines, 0)
         smr_b = pick(smr, jnp.float32(0.0))
         alloc_b = pick(alloc, 0)
         need2 = jnp.max(jnp.where(eligible & ~onehot, need, neg),
-                        axis=1, keepdims=True)
+                        axis=ax, keepdims=True)
         # multi-grant: k = #{m in [alloc_b, max_mant) : smr_b - DEC[m] > need2}
         k = jnp.zeros_like(alloc_b)
         for m in range(max_mant):
@@ -92,11 +98,11 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int):
 
         # ---- freeze branch: highest lone-1-bit band
         lone = (alloc == 1) & (frozen == 0) & ~pad
-        any_lone = jnp.any(lone, axis=1, keepdims=True)
-        hisel = jnp.max(jnp.where(lone, band, -1), axis=1, keepdims=True)
+        any_lone = jnp.any(lone, axis=ax, keepdims=True)
+        hisel = jnp.max(jnp.where(lone, band, -1), axis=ax, keepdims=True)
         fhot = lone & (band == hisel)
         f_alloc = jnp.where(fhot, 0, alloc)
-        f_rem = rem + jnp.sum(jnp.where(fhot, n_lines, 0), axis=1,
+        f_rem = rem + jnp.sum(jnp.where(fhot, n_lines, 0), axis=ax,
                               keepdims=True)
         f_frozen = jnp.where(fhot, 1, frozen)
 
@@ -120,12 +126,14 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int):
 
 
 def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
-                    rounds: int = 2, n_bisect: int = 20):
+                    rounds: int = 2, n_bisect: int = 20,
+                    band_axis: int = 1):
     """In-kernel water-level warm start (tile mirror of
     tac.bitalloc._warm_start — see its docstring for the prefix lemma).
 
-    smr f32[R, 128], n_lines i32[R, 128], rem0 i32[R, 1] →
-    (alloc0 i32[R, 128], rem i32[R, 1]). Exactness does NOT depend on the
+    band_axis=1: smr f32[R, 128], n_lines i32[R, 128], rem0 i32[R, 1] →
+    (alloc0 i32[R, 128], rem i32[R, 1]); band_axis=0 mirrors along the
+    sublane axis (see water_fill_tile). Exactness does NOT depend on the
     trip count or on matching the XLA bisection's T: any converged
     threshold whose prefix passes the affordability check lands on a
     greedy-reachable state, and the while_loop finishes identically.
@@ -139,7 +147,8 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
     dec32 = [np.float32(v) for v in DEC_TABLE]
     neg = jnp.float32(-np.inf)
     big = jnp.float32(1e30)
-    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, 1)
+    ax = band_axis
+    band = jax.lax.broadcasted_iota(jnp.int32, smr.shape, ax)
     valid = (n_lines > 0) & (band < nb)
     keys = [jnp.where(valid, smr - dec32[m], neg) for m in range(m_cap)]
 
@@ -151,9 +160,9 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
             top = jnp.where(alloc0 == m, keys[m], top)
         live_any = valid & (alloc0 < m_cap)
         top = jnp.where(live_any, top, neg)
-        hi = jnp.max(top, axis=1, keepdims=True)
+        hi = jnp.max(top, axis=ax, keepdims=True)
         lo = jnp.min(jnp.where(live_any, keys[m_cap - 1], big),
-                     axis=1, keepdims=True) - 1.0
+                     axis=ax, keepdims=True) - 1.0
 
         def granted(t):
             cnt = jnp.zeros_like(alloc0)
@@ -164,32 +173,40 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
         for _ in range(n_bisect):
             mid = 0.5 * (lo + hi)
             g = granted(mid)
-            cost = jnp.sum(g * n_lines, axis=1, keepdims=True,
+            cost = jnp.sum(g * n_lines, axis=ax, keepdims=True,
                            dtype=jnp.int32)
             lmaxp = jnp.max(jnp.where(top > mid, n_lines, 0),
-                            axis=1, keepdims=True)
+                            axis=ax, keepdims=True)
             good = cost <= rem - lmaxp
             lo = jnp.where(good, lo, mid)
             hi = jnp.where(good, mid, hi)
         g = granted(hi)
         alloc0 = alloc0 + g
-        rem = rem - jnp.sum(g * n_lines, axis=1, keepdims=True,
+        rem = rem - jnp.sum(g * n_lines, axis=ax, keepdims=True,
                             dtype=jnp.int32)
     return alloc0, rem
 
 
 def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
             max_mant: int, nb: int, warm: bool):
+    """Transposed row-block kernel: bands on SUBLANES, rows on lanes.
+
+    Block shapes [B_pad, RB] with B_pad a multiple of 8 (for nb = 25
+    that is 32 — ~1.3x pad waste; the old rows-on-sublanes layout padded
+    25 bands to 128 LANES, 5.1x waste, and measured 0.97 ms of the
+    2.09 ms fixed-rate chunk — 46% of device encode, PERF.md round 4).
+    """
     if warm:
         # in-kernel warm start from raw budgets: deletes the ~64
         # sequential XLA bisection fusions the callers used to run
         # before this kernel (straight-line inside, no launch cost)
         alloc0, rem0 = warm_start_tile(smr_ref[:], nl_ref[:], rem0_ref[:],
-                                       max_mant=max_mant, nb=nb)
+                                       max_mant=max_mant, nb=nb,
+                                       band_axis=0)
     else:
         alloc0, rem0 = alloc0_ref[:], rem0_ref[:]
     out_ref[:] = water_fill_tile(smr_ref[:], nl_ref[:], alloc0, rem0,
-                                 max_mant=max_mant, nb=nb)
+                                 max_mant=max_mant, nb=nb, band_axis=0)
 
 
 @functools.partial(jax.jit,
@@ -206,48 +223,50 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     and the water-level warm start runs in-kernel (warm_start_tile) —
     allocation-identical either way (the warm start is exact).
     Returns i32[R, B] final allocations (== jax.vmap(water_fill) exactly).
+
+    Layout: bands on the sublane axis (padded to a multiple of 8), rows
+    on lanes, 128 rows per grid program — every elementwise op in the
+    loop touches B_pad/8 VREGs per 128 rows instead of the 16 the old
+    rows-on-sublanes layout needed for the same rows.
     """
     r, b = smr_q.shape
     if b > LANES:
         raise ValueError(f"water_fill_rows supports <= {LANES} bands, "
                          f"got {b} (use the XLA water_fill loop)")
-    # adaptive row block: tiny row counts (the VBR reservoir scan calls this
-    # per step with rows = lanes) must not pay for a full 256-row tile —
-    # pad to the 8-sublane granule instead (shape-static per trace)
-    row_blk = min(ROW_BLK, max(8, -(-r // 8) * 8))
-    rp = -(-r // row_blk) * row_blk
-    grid = rp // row_blk
-    # padded rows: rem0 = 0 and smr = -inf -> nothing eligible, no lone
-    smr_p = jnp.full((rp, LANES), -jnp.inf, jnp.float32)
-    smr_p = smr_p.at[:r, :b].set(smr_q.astype(jnp.float32))
+    bp = max(8, -(-b // 8) * 8)                      # band sublane pad
+    rp = -(-r // LANES) * LANES                      # rows pad to lane blk
+    grid = rp // LANES
+    # padded rows/bands: rem0 = 0 and smr = -inf -> nothing eligible
+    smr_p = jnp.full((bp, rp), -jnp.inf, jnp.float32)
+    smr_p = smr_p.at[:b, :r].set(smr_q.astype(jnp.float32).T)
     n_lines = jnp.asarray(n_lines, jnp.int32)
     if n_lines.ndim == 2:
-        nl_p = jnp.zeros((rp, LANES), jnp.int32).at[:r, :b].set(n_lines)
+        nl_p = jnp.zeros((bp, rp), jnp.int32).at[:b, :r].set(n_lines.T)
     else:
-        nl_p = jnp.zeros((1, LANES), jnp.int32).at[0, :b].set(n_lines)
-        nl_p = jnp.broadcast_to(nl_p, (rp, LANES))
-    a0_p = jnp.zeros((rp, LANES), jnp.int32).at[:r, :b].set(
-        alloc0.astype(jnp.int32))
-    rem_p = jnp.zeros((rp, 1), jnp.int32).at[:r, 0].set(
+        nl_p = jnp.zeros((bp, 1), jnp.int32).at[:b, 0].set(n_lines)
+        nl_p = jnp.broadcast_to(nl_p, (bp, rp))
+    a0_p = jnp.zeros((bp, rp), jnp.int32).at[:b, :r].set(
+        alloc0.astype(jnp.int32).T)
+    rem_p = jnp.zeros((1, rp), jnp.int32).at[0, :r].set(
         rem0.astype(jnp.int32))
 
     out = pl.pallas_call(
         functools.partial(_kernel, max_mant=min(max_mant, MANT_MAX), nb=b,
                           warm=warm),
-        out_shape=jax.ShapeDtypeStruct((rp, LANES), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((bp, rp), jnp.int32),
         grid=(grid,),
         in_specs=[
-            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
+            pl.BlockSpec((bp, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
+            pl.BlockSpec((bp, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
+            pl.BlockSpec((bp, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((row_blk, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, LANES), lambda i: (0, i),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((row_blk, LANES), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((bp, LANES), lambda i: (0, i),
                                memory_space=pltpu.VMEM),
         interpret=interpret,
     )(smr_p, nl_p, a0_p, rem_p)
-    return out[:r, :b]
+    return out[:b, :r].T

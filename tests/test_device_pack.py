@@ -27,6 +27,44 @@ def test_pack_rows_matches_host_packer(seed):
             np.frombuffer(blobs[i], np.uint8), expect)
 
 
+@pytest.mark.parametrize("shape", [(3, 7, 64), (130, 1075, 1518),
+                                   (1025, 300, 587), (64, 40, 6638)])
+def test_pallas_pack_kernel_matches_xla_reduce(shape):
+    """scatter_words_rows (interpret mode) == the XLA compare-reduce,
+    word for word, across every stream family's (R, NF, cap) shape."""
+    from tac.ops.pallas_pack import scatter_words_rows
+
+    r, nf, cap = shape
+    rng = np.random.default_rng(r + nf)
+    wids = rng.integers(0, 17, (r, nf))
+    wids[rng.random((r, nf)) < 0.5] = 0
+    vals = rng.integers(0, 1 << 16, (r, nf)) & ((1 << np.maximum(wids, 1))
+                                                - 1)
+    vals[wids == 0] = 0
+    w32 = -(-cap // 32)
+    v = jnp.asarray(vals, jnp.uint32)
+    wd = jnp.asarray(wids, jnp.int32)
+    end = jnp.cumsum(wd, axis=-1)
+    start = end - wd
+    word0 = start >> 5
+    rr = (start & 31).astype(jnp.uint32)
+    w = wd.astype(jnp.uint32)
+    n0 = jnp.minimum(rr + w, 32) - rr
+    n1 = w - n0
+    c0 = jnp.where(wd > 0, (v >> (w - n0)) << (32 - rr - n0),
+                   jnp.uint32(0))
+    c1 = jnp.where(n1 > 0, (v & ((jnp.uint32(1) << n1) - 1)) << (32 - n1),
+                   jnp.uint32(0))
+    got = scatter_words_rows(c0, c1, word0, w32=w32, interpret=True)
+    wi = jnp.arange(w32, dtype=jnp.int32)
+    want = (jnp.sum(jnp.where(word0[:, :, None] == wi, c0[:, :, None],
+                              jnp.uint32(0)), axis=1, dtype=jnp.uint32)
+            + jnp.sum(jnp.where(word0[:, :, None] == wi - 1,
+                                c1[:, :, None], jnp.uint32(0)),
+                      axis=1, dtype=jnp.uint32))
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
 def test_packed_encode_bytes_identical_to_host_path():
     """Full clip: device-packed stream == host-packed stream, byte for byte."""
     fs = 16000
