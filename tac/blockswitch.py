@@ -97,6 +97,8 @@ def make_bs_consts(cfg: CodecConfig) -> BsConsts:
     cg = cl._replace(
         band_of_line=jnp.asarray(np.tile(bol_s, k)),
         n_lines=jnp.asarray(k * nl_s),
+        band_ranges=bands.band_line_ranges(cfg.sample_rate, hs),
+        band_tile=k,
         window=jnp.asarray(ws, dt))
 
     sub_idx = h3 + np.arange(k)[:, None] * hs + np.arange(2 * hs)[None, :]

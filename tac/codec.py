@@ -42,6 +42,8 @@ class CodecConsts(NamedTuple):
     inv_basis: jnp.ndarray       # [H, N] window-fused IMDCT basis
     band_of_line: jnp.ndarray    # [H] int32
     n_lines: jnp.ndarray         # [N_BANDS] int32
+    band_ranges: tuple           # ((start, end), ...) static line runs
+    band_tile: int               # band map tiling: >1 = grouped shorts
     psy: Optional[psy_mod.PsyConsts]
     budget: int                  # python int: mantissa bits per block/channel
     mdct_gain: float             # 8 / mean(window^2), host float (SPEC §5)
@@ -73,6 +75,8 @@ def make_consts(cfg: CodecConfig, h: Optional[int] = None) -> CodecConsts:
         inv_basis=jnp.asarray(fb.imdct_basis(h, w, np.float64), dtype),
         band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
         n_lines=jnp.asarray(nl),
+        band_ranges=bands.band_line_ranges(cfg.sample_rate, h),
+        band_tile=1,
         psy=psy_mod.make_consts(cfg) if cfg.use_psy else None,
         budget=budget,
         mdct_gain=float(8.0 / np.mean(w ** 2)),
@@ -88,14 +92,34 @@ class FrameCode(NamedTuple):
     mant: jnp.ndarray        # [H] int32 line mantissas (0 where no bits)
 
 
+def _band_max(x, c: CodecConsts, fill):
+    """Per-band max of x[..., L] -> [..., N_BANDS], bit-identical to
+    segment_max over c.band_of_line (max is order-independent) but as
+    dense static-slice reduces (no scatter-max; PERF.md round 4). For
+    grouped-short consts (band_tile = K sub-blocks, tiled band map) the
+    line axis reshapes to [K, Hs] and the K sub-block maxes combine."""
+    if c.band_tile == 1:
+        return psy_mod.band_slice_max(x, c.band_ranges, fill)
+    xs = x.reshape(*x.shape[:-1], c.band_tile, -1)
+    return jnp.max(psy_mod.band_slice_max(xs, c.band_ranges, fill), axis=-2)
+
+
+def _band_sum(x, c: CodecConsts):
+    """Integer per-band sum (exact — int addition commutes), dense
+    slices instead of scatter-add; grouped-short tiling as _band_max."""
+    if c.band_tile == 1:
+        return psy_mod.band_slice_sum(x, c.band_ranges)
+    xs = x.reshape(*x.shape[:-1], c.band_tile, -1)
+    return jnp.sum(psy_mod.band_slice_sum(xs, c.band_ranges), axis=-2)
+
+
 def _smr_input(frame, lines, cfg: CodecConfig, c: CodecConsts):
     """What drives bit allocation (SPEC §5/§6; reference's 4 BitAlloc modes)."""
     if cfg.use_psy and cfg.alloc_mode in ("greedy", "const_mnr"):
         return psy_mod.calc_smrs(frame, lines, c.psy)
     if cfg.alloc_mode == "const_snr":
         spl = psy_mod.spl_from_intensity(c.mdct_gain * lines * lines)
-        return jax.ops.segment_max(spl, c.band_of_line,
-                                   num_segments=bands.N_BANDS)
+        return _band_max(spl, c, -jnp.inf)
     return jnp.zeros(bands.N_BANDS, c.dtype)  # uniform
 
 
@@ -146,8 +170,7 @@ def quantize_given_alloc(lines, alloc, cfg: CodecConfig,
     ovs = quant.scale_factor(jnp.max(jnp.abs(lines)), s, a)
     # 2^ovs is a power-of-two scale: exact in every float format (SPEC §10)
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))
-    band_max = jax.ops.segment_max(jnp.abs(scaled), c.band_of_line,
-                                   num_segments=nb)
+    band_max = _band_max(jnp.abs(scaled), c, 0.0)
     band_max = jnp.where(c.n_lines > 0, band_max, 0.0)
     sf = quant.scale_factor(band_max, s, alloc)
     sf = jnp.where(alloc > 0, sf, 0)
@@ -773,8 +796,7 @@ def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
     ovs = jax.vmap(lambda l: quant.scale_factor(
         jnp.max(jnp.abs(l)), s, a))(lines)                  # [R]
     scaled = lines * jnp.exp2(ovs.astype(lines.dtype))[:, None]
-    band_max = jax.vmap(lambda sc: jax.ops.segment_max(
-        jnp.abs(sc), c.band_of_line, num_segments=nb))(scaled)
+    band_max = _band_max(jnp.abs(scaled), c, 0.0)
     band_max = jnp.where(c.n_lines > 0, band_max, 0.0)      # [R, B]
 
     cost_np = hf.cost_table_np()                            # [7, 256]
@@ -786,8 +808,7 @@ def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
         # per-symbol select chain (127 runs vs 508 symbols, PERF.md)
         c0, runs = hf.run_decompose(cost_np[m - hf.MIN_M][: 1 << m])
         cost = hf._apply_runs(mant_m, c0, runs)
-        outs.append(jax.vmap(lambda cr: jax.ops.segment_sum(
-            cr, c.band_of_line, num_segments=nb))(cost))
+        outs.append(_band_sum(cost, c))   # int32: slice-sum is exact
     return jnp.stack(outs, axis=-1)                         # [R, B, 7]
 
 

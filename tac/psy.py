@@ -67,6 +67,9 @@ class PsyConsts(NamedTuple):
     n_lines: jnp.ndarray         # [N_BANDS] int32
     noise_z: jnp.ndarray         # [N_BANDS] Bark of band centers
     line_valid: jnp.ndarray      # [H] bool: line below fs/2 (always true here)
+    band_ranges: tuple           # ((start, end), ...) static line runs
+    fft_cos: object              # [N, H] hann-fused DFT cos basis (fast mode)
+    fft_sin: object              # [N, H] hann-fused DFT sin basis (fast mode)
     max_maskers: int
     delta_tonal: float
     delta_noise: float
@@ -92,7 +95,19 @@ def make_consts(cfg) -> PsyConsts:
     hw = hann_window(n)
     f = bands.line_freqs(cfg.sample_rate, h)
     quiet = 10.0 ** ((_thresh_quiet_db_np(f) - 96.0) / 10.0)
+    if cfg.precision == "parity":
+        fft_cos = fft_sin = None     # parity path keeps the f64 FFT
+    else:
+        # hann-fused DFT-by-matmul bases: XLA:TPU's FFT measured 0.56 ms
+        # per 1024-row chunk — over half the whole fixed-rate encode —
+        # while the MXU does the same contraction in ~0.1 ms (PERF.md
+        # round 4). |X|^2 needs only bins 0..H-1 of the real-input DFT.
+        nk = np.arange(n)[:, None] * (np.arange(h)[None, :] * (2 * np.pi / n))
+        fft_cos = jnp.asarray(hw[:, None] * np.cos(nk), dt)
+        fft_sin = jnp.asarray(hw[:, None] * np.sin(nk), dt)
     return PsyConsts(
+        fft_cos=fft_cos,
+        fft_sin=fft_sin,
         hann=jnp.asarray(hw, dt),
         fft_gain=float(4.0 / (n * n * np.mean(hw ** 2))),
         mdct_gain=float(8.0 / np.mean(w ** 2)),
@@ -101,6 +116,7 @@ def make_consts(cfg) -> PsyConsts:
         quiet_i=jnp.asarray(quiet, dt),
         band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
         n_lines=jnp.asarray(bands.lines_per_band(cfg.sample_rate, h)),
+        band_ranges=bands.band_line_ranges(cfg.sample_rate, h),
         noise_z=jnp.asarray(_bark_np(bands.band_center_freqs(cfg.sample_rate)), dt),
         line_valid=jnp.asarray(np.ones(h, bool)),
         max_maskers=cfg.max_maskers,
@@ -111,6 +127,31 @@ def make_consts(cfg) -> PsyConsts:
 
 
 # --------------------------------------------------------------- kernels ----
+
+def band_slice_max(x, ranges: tuple, fill):
+    """Per-band max of x[..., H] via static slices → [..., N_BANDS].
+
+    Bit-identical to segment_max over the (contiguous) band map — max is
+    order-independent — but compiles to dense fused reduces instead of a
+    scatter-max (TPU scatters serialize per update; three of these sat in
+    the encode profile, PERF.md round 4). Empty bands yield `fill`.
+    """
+    cols = [jnp.max(x[..., s:e], axis=-1) if e > s
+            else jnp.full(x.shape[:-1], fill, x.dtype)
+            for s, e in ranges]
+    return jnp.stack(cols, axis=-1)
+
+
+def band_slice_sum(x, ranges: tuple):
+    """Per-band sum of x[..., H] via static slices → [..., N_BANDS].
+    Exact for integer dtypes (addition commutes); for floats the
+    reduction ORDER differs from scatter-add — only use where the sum
+    is integer or a ULP change is acceptable. Empty bands yield 0."""
+    cols = [jnp.sum(x[..., s:e], axis=-1) if e > s
+            else jnp.zeros(x.shape[:-1], x.dtype)
+            for s, e in ranges]
+    return jnp.stack(cols, axis=-1)
+
 
 def _spread_spl(lm, zm, delta, zline):
     """Two-slope Schroeder spreading (SPEC.md §5): maskers [K] → lines [H].
@@ -131,8 +172,14 @@ def masked_threshold(time_frame, c: PsyConsts):
     threshold in quiet.
     """
     h = c.freqs.shape[0]
-    xf = jnp.fft.fft(time_frame.astype(c.hann.dtype) * c.hann)[:h]
-    ii = c.fft_gain * jnp.abs(xf) ** 2                       # [H] line intensity
+    if c.fft_cos is None:            # parity: f64 FFT, oracle-identical
+        xf = jnp.fft.fft(time_frame.astype(c.hann.dtype) * c.hann)[:h]
+        ii = c.fft_gain * jnp.abs(xf) ** 2                   # [H] intensity
+    else:                            # fast: DFT as two MXU matmuls
+        x = time_frame.astype(c.hann.dtype)
+        re = jnp.dot(x, c.fft_cos, preferred_element_type=x.dtype)
+        im = jnp.dot(x, c.fft_sin, preferred_element_type=x.dtype)
+        ii = c.fft_gain * (re * re + im * im)
 
     # --- tonal maskers: interior local maxima, ±1-bin aggregation
     left = jnp.concatenate([jnp.full((1,), jnp.inf, ii.dtype), ii[:-1]])
@@ -154,9 +201,30 @@ def masked_threshold(time_frame, c: PsyConsts):
     prod = ii * c.freqs
     num_line = (jnp.concatenate([prod[:1], prod[:-1]]) + prod
                 + jnp.concatenate([prod[1:], prod[-1:]]))
+    # strict peaks are never adjacent (peak at i forces ii[i] >= ii[i+1],
+    # peak at i+1 forces ii[i+1] > ii[i]), so each line PAIR holds at most
+    # one candidate: compact [H] -> [H/2] losslessly before the sort.
+    # Within-pair the nonzero entry wins; all-zero pairs keep index 2j but
+    # are masked by `valid` downstream exactly like the zero entries the
+    # uncompacted sort produced. Relative order of candidates is preserved
+    # (pair order == line order), so the stable tie-break is unchanged and
+    # the kept masker set is bit-identical to sorting all H lines.
+    if k <= h // 2:
+        pa, pb = peak_i[0::2], peak_i[1::2]
+        sel_b = pb > pa
+        cand_i = jnp.where(sel_b, pb, pa)
+        cand_idx = (jnp.arange(h // 2, dtype=jnp.int32) * 2
+                    + sel_b.astype(jnp.int32))
+        cand_num = jnp.where(sel_b, num_line[1::2], num_line[0::2])
+    else:                                    # tiny frames: sort everything
+        cand_i = peak_i
+        cand_idx = jnp.arange(h, dtype=jnp.int32)
+        cand_num = num_line
+    # two-key sort: cand_idx is strictly increasing, so ordering by
+    # (-value, index) reproduces the stable tie-break exactly while
+    # letting XLA drop the implicit stability iota (4th sort operand)
     neg_key, top_idx, fm_num = jax.lax.sort(
-        (-peak_i, jnp.arange(h, dtype=jnp.int32), num_line),
-        num_keys=1, is_stable=True)
+        (-cand_i, cand_idx, cand_num), num_keys=2, is_stable=False)
     top_i = -neg_key[:k]
     top_idx, fm_num = top_idx[:k], fm_num[:k]
     valid = top_i > 0.0
@@ -169,9 +237,22 @@ def masked_threshold(time_frame, c: PsyConsts):
     thr_i = jnp.sum(intensity_from_spl(spread) * valid[:, None], axis=0)
 
     if c.noise_maskers:
-        # bins swallowed by a kept tonal masker (±1) are excluded from noise
-        d = jnp.abs(jnp.arange(h)[None, :] - top_idx[:, None])  # [K, H]
-        near_peak = jnp.any((d <= 1) & valid[:, None], axis=0)
+        # bins swallowed by a kept tonal masker (±1) are excluded from
+        # noise. The kept set {top_idx[j] : valid[j]} is reconstructed at
+        # LINE level from the kth value + stable-tie index bound, so no
+        # [K, H] distance tensor is built (its reduce_or was 16% of the
+        # encode chunk): a line is kept iff its aggregated peak intensity
+        # strictly beats the kth sorted value, or equals it with index at
+        # most the largest kept tie index (stable sort keeps lowest
+        # indices first) — and is positive, mirroring `valid`.
+        thr_k = top_i[k - 1]
+        tie_hi = jnp.max(jnp.where((top_i == thr_k) & valid, top_idx, -1))
+        line_idx = jnp.arange(h, dtype=jnp.int32)
+        kept = (peak_i > 0.0) & ((peak_i > thr_k)
+                                 | ((peak_i == thr_k) & (line_idx <= tie_hi)))
+        near_peak = (kept
+                     | jnp.concatenate([kept[1:], kept[:1] & False])
+                     | jnp.concatenate([kept[:1] & False, kept[:-1]]))
         noise_line_i = jnp.where(near_peak, 0.0, ii)
         nb = bands.N_BANDS
         noise_i = jops.segment_sum(noise_line_i, c.band_of_line, num_segments=nb)
@@ -194,6 +275,5 @@ def calc_smrs(time_frame, mdct_lines, c: PsyConsts, mdct_gain=None):
     gain = c.mdct_gain if mdct_gain is None else mdct_gain
     line_spl = spl_from_intensity(gain * mdct_lines.astype(thr_spl.dtype) ** 2)
     smr_line = line_spl - thr_spl
-    nb = bands.N_BANDS
-    smr = jops.segment_max(smr_line, c.band_of_line, num_segments=nb)
+    smr = band_slice_max(smr_line, c.band_ranges, _NEG)
     return jnp.where(c.n_lines > 0, smr, _NEG)
