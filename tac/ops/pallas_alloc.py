@@ -30,14 +30,33 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from tac.bitalloc import DEC_TABLE, MANT_MAX
+from tac.bitalloc import DB_PER_BIT, DEC_TABLE, MANT_MAX
 
 LANES = 128          # lane-group width (bands in the VBR-scan layout,
                      # rows per grid program in the row-block kernel)
 
 
+def _tree_sum(terms):
+    """Pairwise-sum a list of arrays: log-depth dependency chain instead
+    of a serial accumulate (integer/bool counts only — order-exact)."""
+    terms = list(terms)
+    while len(terms) > 1:
+        nxt = [terms[i] + terms[i + 1] for i in range(0, len(terms) - 1, 2)]
+        if len(terms) % 2:
+            nxt.append(terms[-1])
+        terms = nxt
+    return terms[0]
+
+
+def _dec_of(alloc, dtype=jnp.float32):
+    """DEC_TABLE[alloc] as one multiply: fl(6.02)·k == fl(fl64(6.02·k))
+    for every k in [0, 16] (verified bit-exact — DEC_TABLE is arange ·
+    6.02), so this equals the XLA path's table gather exactly."""
+    return jnp.asarray(DB_PER_BIT, dtype) * alloc.astype(dtype)
+
+
 def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
-                    band_axis: int = 1):
+                    band_axis: int = 1, unroll: int = 1):
     """The greedy water-fill while_loop on VMEM-resident tiles.
 
     With band_axis=1 (the VBR reservoir-scan layout): smr f32[R, 128],
@@ -57,16 +76,9 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
     pad = band >= nb                                 # padded positions: inert
     valid_band = (n_lines > 0) & ~pad
 
-    def dec_of(alloc):
-        """DEC_TABLE[alloc] as a select-sum over the 17 f32 constants."""
-        d = jnp.zeros_like(smr)
-        for k in range(MANT_MAX + 1):
-            d = jnp.where(alloc == k, dec32[k], d)
-        return d
-
     def body(state):
         alloc, rem, frozen, _ = state
-        need = smr - dec_of(alloc)
+        need = smr - _dec_of(alloc)
         eligible = (frozen == 0) & (alloc < max_mant) & valid_band \
             & (n_lines <= rem)
         any_grant = jnp.any(eligible, axis=ax, keepdims=True)    # [.., 1]
@@ -86,10 +98,8 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
         need2 = jnp.max(jnp.where(eligible & ~onehot, need, neg),
                         axis=ax, keepdims=True)
         # multi-grant: k = #{m in [alloc_b, max_mant) : smr_b - DEC[m] > need2}
-        k = jnp.zeros_like(alloc_b)
-        for m in range(max_mant):
-            k = k + ((m >= alloc_b) & (smr_b - dec32[m] > need2)
-                     ).astype(jnp.int32)
+        k = _tree_sum([((m >= alloc_b) & (smr_b - dec32[m] > need2)
+                        ).astype(jnp.int32) for m in range(max_mant)])
         k = jnp.minimum(k, max_mant - alloc_b)
         k = jnp.minimum(k, rem // jnp.maximum(n_b, 1))
         k = jnp.maximum(k, 1)
@@ -121,7 +131,20 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
 
     # frozen carried as i32 0/1: Mosaic rejects i1 vector stores/selects
     state = (alloc0, rem0, jnp.zeros_like(alloc0), jnp.asarray(False))
-    alloc, _, _, _ = jax.lax.while_loop(lambda s: ~s[3], body, state)
+    # unroll > 1: U body applications per loop-condition check. The body
+    # is the IDENTITY once done (no grant and no lone bit leave every
+    # carry unchanged), so overshooting the convergence point by up to
+    # U-1 applications is decision-exact; what it buys is U-fold fewer
+    # vector->scalar condition syncs (the dominant per-iteration stall
+    # inside a kernel - PERF.md round 4).
+    if unroll > 1:
+        def chunk(s):
+            for _ in range(unroll):
+                s = body(s)
+            return s
+        alloc, _, _, _ = jax.lax.while_loop(lambda s: ~s[3], chunk, state)
+    else:
+        alloc, _, _, _ = jax.lax.while_loop(lambda s: ~s[3], body, state)
     return alloc
 
 
@@ -155,19 +178,25 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
     alloc0 = jnp.zeros_like(n_lines)
     rem = rem0                                            # [R, 1] i32
     for _ in range(rounds):
-        top = neg * jnp.ones_like(smr)
-        for m in range(m_cap):                            # top = keys[alloc0]
-            top = jnp.where(alloc0 == m, keys[m], top)
-        live_any = valid & (alloc0 < m_cap)
-        top = jnp.where(live_any, top, neg)
+        # mask out bands whose n_lines exceed the round's remaining —
+        # they stay ineligible through the whole grant descent (rem only
+        # shrinks), so excluding their events is exact (see
+        # tac.bitalloc._warm_start); later rounds then absorb the
+        # sub-water-level mop-up grants
+        afford = n_lines <= rem
+        keys_r = [jnp.where(afford, k, neg) for k in keys]
+        # top = keys[alloc0], recomputed arithmetically: fl(smr - 6.02·a)
+        # is the very value keys[a] holds (see _dec_of) — one multiply
+        # instead of a 17-deep select chain
+        live_any = valid & afford & (alloc0 < m_cap)
+        top = jnp.where(live_any, smr - _dec_of(alloc0), neg)
         hi = jnp.max(top, axis=ax, keepdims=True)
-        lo = jnp.min(jnp.where(live_any, keys[m_cap - 1], big),
+        lo = jnp.min(jnp.where(live_any, keys_r[m_cap - 1], big),
                      axis=ax, keepdims=True) - 1.0
 
-        def granted(t):
-            cnt = jnp.zeros_like(alloc0)
-            for m in range(m_cap):
-                cnt = cnt + (keys[m] > t).astype(jnp.int32)
+        def granted(t, keys_r=keys_r):
+            cnt = _tree_sum([(keys_r[m] > t).astype(jnp.int32)
+                             for m in range(m_cap)])
             return jnp.maximum(cnt - alloc0, 0)
 
         for _ in range(n_bisect):
@@ -175,9 +204,10 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
             g = granted(mid)
             cost = jnp.sum(g * n_lines, axis=ax, keepdims=True,
                            dtype=jnp.int32)
-            lmaxp = jnp.max(jnp.where(top > mid, n_lines, 0),
-                            axis=ax, keepdims=True)
-            good = cost <= rem - lmaxp
+            # cost <= rem suffices (monotone event-order spend makes
+            # every prefix grant affordable at its turn — see
+            # tac.bitalloc._warm_start); no Lmax' margin
+            good = cost <= rem
             lo = jnp.where(good, lo, mid)
             hi = jnp.where(good, mid, hi)
         g = granted(hi)

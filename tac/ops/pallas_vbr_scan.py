@@ -46,7 +46,8 @@ N_TAB = MAX_M - MIN_M + 1
 def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                  alloc_ref, tid_ref, used_ref, res_ref, res_scr, *,
                  base: int, cap: int, max_mant: int, nb: int,
-                 g: int, f: int, nl_per_frame: bool):
+                 g: int, f: int, nl_per_frame: bool, unroll: int,
+                 ws_rounds: int, ws_bisect: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -66,17 +67,23 @@ def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
             nl = nl_ref[gg if nl_per_frame else 0]   # [Lp, 128] i32 (0 pad)
 
             alloc0, rem = warm_start_tile(smr, nl, base + res,
-                                          max_mant=max_mant, nb=nb)
+                                          max_mant=max_mant, nb=nb,
+                                          rounds=ws_rounds,
+                                          n_bisect=ws_bisect)
             alloc = water_fill_tile(smr, nl, alloc0, rem,
-                                    max_mant=max_mant, nb=nb)
+                                    max_mant=max_mant, nb=nb,
+                                    unroll=unroll)
 
             # pricing: integer-identical to codec._vbr_price (raw =
             # Σ alloc·n_lines; huffman swaps in the precomputed coded
             # band cost at codable allocs)
             raw_b = alloc * nl                       # [Lp, 128]
-            huf_b = raw_b
-            for m in range(MIN_M, MAX_M + 1):
-                huf_b = jnp.where(alloc == m, bh_ref[gg, m - MIN_M], huf_b)
+            # disjoint conditions (alloc == m): the select chain is a sum
+            # of deltas, tree-reduced for log depth (integer-exact)
+            from tac.ops.pallas_alloc import _tree_sum
+            huf_b = raw_b + _tree_sum(
+                [jnp.where(alloc == m, bh_ref[gg, m - MIN_M] - raw_b, 0)
+                 for m in range(MIN_M, MAX_M + 1)])
             raw = jnp.sum(raw_b, axis=1, keepdims=True,
                           dtype=jnp.int32)           # [Lp, 1]
             huf = jnp.sum(huf_b, axis=1, keepdims=True, dtype=jnp.int32)
@@ -120,6 +127,13 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     # the cheapest compile; the G-batch path remains for DMA-latency-
     # bound backends (tests pin G=2 for parity coverage)
     g = max(int(os.environ.get("TAC_VBR_SCAN_G", 1)), 1)
+    # loop-shape knobs (decision-exact at ANY setting: the warm start's
+    # prefix lemma holds for any trip count, and unrolled post-done body
+    # applications are the identity — pallas_alloc). Defaults measured on
+    # the live chip (tools/bench_vbr.py A/B, PERF.md round 4).
+    unroll = max(int(os.environ.get("TAC_WF_UNROLL", 1)), 1)
+    ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 2)), 1)
+    ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 20)), 1)
     fp = -(-f // g) * g
     n_grid = fp // g
 
@@ -146,7 +160,8 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     alloc, tid, used, res = pl.pallas_call(
         functools.partial(_scan_kernel, base=int(base), cap=int(cap),
                           max_mant=max_mant, nb=b, g=g, f=f,
-                          nl_per_frame=nl_per_frame),
+                          nl_per_frame=nl_per_frame, unroll=unroll,
+                          ws_rounds=ws_rounds, ws_bisect=ws_bisect),
         out_shape=(
             jax.ShapeDtypeStruct((fp, lp, LANES), jnp.int32),
             jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),
