@@ -39,7 +39,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 ROWS_SUB, ROWS_LANE = 8, 128          # rows per grid step = 8 * 128
-FB = 256                              # fields per grid step
+FB = 252                              # fields per grid step (21 window groups)
 WB = 8                                # words per register pass
 
 
@@ -72,6 +72,52 @@ def _kernel(c0_ref, c1_ref, w0_ref, out_ref, *, w32: int, fb: int):
                 out_ref[0, w_lo + i] += accs[i]
 
 
+WL = 8                                # rolling register window (words)
+GF = 12                               # fields per window group: 31 bits of
+                                      # start offset + 12*16 field bits stay
+                                      # inside WL*32 = 256 bits, so every
+                                      # c0/c1 of a group lands in the window
+
+
+def _kernel_win(c0_ref, c1_ref, w0_ref, out_ref, *, w32: int, fb: int):
+    """Windowed variant: per GF-field group, contributions accumulate in
+    a WL-word register window anchored at the group's first word index
+    (per row), then one flush adds the window into the output block. The
+    naive kernel pays W32 compare-adds per FIELD; this pays WL per field
+    plus W32*WL per GROUP — a 2-3x op cut for the VBR/combo capacities
+    (W32 up to 208) and ~2x for raw (W32 = 48)."""
+    j = pl.program_id(1)
+
+    zero = jnp.zeros((ROWS_SUB, ROWS_LANE), jnp.uint32)
+    u0 = jnp.uint32(0)
+
+    @pl.when(j == 0)
+    def _init():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    def group(g, carry):
+        base = w0_ref[0, g * GF]                 # [8, 128] i32 per row
+        win = (zero,) * WL
+        for ff in range(GF):
+            c0 = c0_ref[0, g * GF + ff]
+            c1 = c1_ref[0, g * GF + ff]
+            rel = w0_ref[0, g * GF + ff] - base  # in [0, WL-1]
+            win = tuple(
+                win[i]
+                + jnp.where(rel == i, c0, u0)
+                + jnp.where(rel == i - 1, c1, u0)
+                for i in range(WL))
+        for w in range(w32):
+            relw = w - base
+            add = win[0] if WL == 1 else jnp.where(relw == 0, win[0], u0)
+            for i in range(1, WL):
+                add = add + jnp.where(relw == i, win[i], u0)
+            out_ref[0, w] += add
+        return carry
+
+    lax.fori_loop(0, fb // GF, group, 0)
+
+
 @functools.partial(jax.jit, static_argnames=("w32", "interpret"))
 def scatter_words_rows(c0, c1, word0, *, w32: int, interpret=False):
     """Sorted segment-OR of per-field word contributions, on the TPU tile.
@@ -83,11 +129,18 @@ def scatter_words_rows(c0, c1, word0, *, w32: int, interpret=False):
     identical to tac.ops.bitpack.pack_rows's reduce (out-of-range fields
     drop).
     """
+    import os
+
     r, nf = c0.shape
     rows = ROWS_SUB * ROWS_LANE
     g = -(-r // rows)
     rp = g * rows
-    fb = FB if nf >= FB else max(8, nf)
+    win = os.environ.get("TAC_PACK_WIN") != "0"
+    if win:
+        # field blocks must hold whole GF-field window groups
+        fb = FB if nf >= FB else max(GF, -(-nf // GF) * GF)
+    else:
+        fb = FB if nf >= FB else max(8, nf)
     nfp = -(-nf // fb) * fb
 
     def stage(a, dtype):
@@ -101,7 +154,7 @@ def scatter_words_rows(c0, c1, word0, *, w32: int, interpret=False):
     w0T = stage(word0, jnp.int32)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, w32=w32, fb=fb),
+        functools.partial(_kernel_win if win else _kernel, w32=w32, fb=fb),
         out_shape=jax.ShapeDtypeStruct((g, w32, ROWS_SUB, ROWS_LANE),
                                        jnp.uint32),
         grid=(g, nfp // fb),

@@ -80,15 +80,32 @@ def main() -> None:
         words = jax.device_put(jnp.asarray(np.ascontiguousarray(
             rows.reshape(f, c, w32).swapaxes(0, 1))))
         # fence with a scalar pull: block_until_ready is unreliable over
-        # this remote tunnel (bench.py's long-standing note)
-        devfn = jax.jit(lambda w: jnp.sum(dec(w, dcfg, hdr.num_samples)))
+        # this remote tunnel (bench.py's long-standing note).
+        # K decodes chain inside ONE dispatch: a single 60-s decode is
+        # ~3 ms of chip compute vs ~28 ms tunnel RPC, so a one-dispatch
+        # measurement reports the link, not the codec (the pre-round-4
+        # numbers ~2100 were exactly 60/RPC). The carry-dependent select
+        # defeats DCE/overlap without changing runtime work (carry is
+        # never negative, XLA can't prove it).
+        k_chain = 16
+
+        def chained(w):
+            def body(carry, _):
+                w2 = jnp.where(carry < 0, w ^ jnp.uint32(1), w)
+                s = jnp.sum(dec(w2, dcfg, hdr.num_samples))
+                return s.astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None,
+                                length=k_chain)
+            return s
+
+        devfn = jax.jit(chained)
         np.asarray(devfn(words))
         ts = []
         for _ in range(iters):
             t0 = time.perf_counter()
             np.asarray(devfn(words))
             ts.append(time.perf_counter() - t0)
-        dt = float(np.median(ts))
+        dt = float(np.median(ts)) / k_chain
         out[f"{name}_device"] = round(secs / dt, 1)
 
         # batched full path: 8 clips per dispatch, the symmetric mirror of
