@@ -57,15 +57,31 @@ def bench_tac(x: np.ndarray, cfg, iters: int = 3) -> float:
                 for i in range(b)]
 
     drain(*parallel.encode_batch_packed(xd, cfg))   # compile + warm caches
+
+    # device-only: K encodes chained inside ONE dispatch, one scalar pull.
+    # A per-dispatch measurement pays ~28 ms tunnel RPC + a [B, C, F]
+    # nbits pull against ~80 ms of chip compute, understating the chip by
+    # 2-3x (the pre-round-4 numbers). The carry-guarded select defeats
+    # DCE/cross-iteration overlap without changing runtime work.
+    from tac import codec as _codec
+    k_chain = 8
+
+    def chained(xx):
+        def body(carry, _):
+            x2 = jnp.where(carry < 0, xx + jnp.float32(1), xx)
+            _w2, n2 = _codec._encode_packed_leading(x2, cfg)
+            return jnp.sum(n2).astype(jnp.float32), None
+        s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k_chain)
+        return s
+
+    chainfn = jax.jit(chained)
     for attempt in range(3):                        # tunnel-flake tolerance
         try:
-            # device-only: materialize just the per-frame bit counts (a tiny
-            # pull) so the number isolates chip compute from the tunnel link
+            np.asarray(chainfn(xd))                 # compile warm
             t0 = time.perf_counter()
             for _ in range(iters):
-                _w, n = parallel.encode_batch_packed(xd, cfg)
-                np.asarray(n)
-            dev_dt = (time.perf_counter() - t0) / iters
+                np.asarray(chainfn(xd))
+            dev_dt = (time.perf_counter() - t0) / (iters * k_chain)
             # NOTE: measured serial > software-pipelined here — the remote
             # tunnel serializes execute and transfer, so overlapping them
             # just adds contention (46.9 vs 102.9 audio-sec/s).
