@@ -60,23 +60,22 @@ def _warm_start(smr_q, n_lines, budget, max_mant: int, n_bisect: int = 32,
     and lands the warm start on the exact water level.)
 
     T is found by a fixed-trip bisection on the water level — monotone:
-    cost is non-increasing and budget - Lmax' non-decreasing in T. Any
-    converged T is valid (imprecision only shrinks the prefix), so no sort
-    and no exact tie handling is needed — XLA sorts are the expensive part
-    on TPU (measured: a [rows, 400] sort cost more than the loop iterations
-    it saved). Verified allocation-identical to the serial oracle on real
-    SMRs and randomized fuzz (tests/test_bitalloc.py); cuts loop iterations
-    ~70 -> ~27 mean (85 -> 41 max) on 128 kbps SMRs.
+    cost is non-increasing in T. Any converged T is valid (imprecision
+    only shrinks the prefix), so no sort and no exact tie handling is
+    needed — XLA sorts are the expensive part on TPU (measured: a
+    [rows, 400] sort cost more than the loop iterations it saved).
+    Verified allocation-identical to the serial oracle on real SMRs and
+    randomized fuzz (tests/test_bitalloc.py).
 
     The lemma assumes only a greedy-reachable state with frozen=all-False
     (greedy's grant phase is memoryless given (alloc, remaining)), so the
     bisection APPLIES AGAIN from its own result: each extra round re-runs
-    it on the residual event set {(b, j) : j >= alloc[b]}. Measured on
-    128 kbps SMRs the returns diminish fast — 1 round leaves ~18.5 mean /
-    33 max remaining iterations, 2 rounds ~16.7 / 31, 4 rounds ~16.3 —
-    because the tail is margin-bound grants (remaining < Lmax') and
-    lone-bit freezes, which no threshold prefix can absorb; rounds=2
-    keeps the cheap part of the win.
+    it on the residual event set {(b, j) : j >= alloc[b]}, with that
+    round's unaffordable bands masked out (see below). With the tight
+    affordability condition + per-round masking the tail is ~11 mean
+    iterations on 128 kbps SMRs (was ~16.7 with the old margin), mostly
+    lone-bit freezes and post-freeze regrants, which no threshold prefix
+    can absorb; rounds=2 keeps the cheap part of the win.
 
     Returns (alloc0 int32[B], remaining0 int32). budget may be traced (VBR).
     """
@@ -116,7 +115,7 @@ def _warm_start(smr_q, n_lines, budget, max_mant: int, n_bisect: int = 32,
             # sufficient invariant; dropping it lands the warm start on
             # the exact water level (4000-case fuzz vs single-grant
             # greedy: identical final allocations — /tmp lemma fuzz,
-            # round 4; loop tail ~16 -> ~5 iterations).
+            # round-3 perf session; loop tail ~16 -> ~5 iterations).
             return cost <= rem
 
         hi0 = jnp.max(jnp.where(valid, top, -big))           # ok: empty prefix

@@ -95,7 +95,7 @@ class FrameCode(NamedTuple):
 def _band_max(x, c: CodecConsts, fill):
     """Per-band max of x[..., L] -> [..., N_BANDS], bit-identical to
     segment_max over c.band_of_line (max is order-independent) but as
-    dense static-slice reduces (no scatter-max; PERF.md round 4). For
+    dense static-slice reduces (no scatter-max; PERF.md round-3 perf session). For
     grouped-short consts (band_tile = K sub-blocks, tiled band map) the
     line axis reshapes to [K, Hs] and the K sub-block maxes combine."""
     if c.band_tile == 1:

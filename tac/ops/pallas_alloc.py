@@ -136,7 +136,7 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
     # carry unchanged), so overshooting the convergence point by up to
     # U-1 applications is decision-exact; what it buys is U-fold fewer
     # vector->scalar condition syncs (the dominant per-iteration stall
-    # inside a kernel - PERF.md round 4).
+    # inside a kernel - PERF.md round-3 perf session).
     if unroll > 1:
         def chunk(s):
             for _ in range(unroll):
@@ -224,7 +224,7 @@ def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
     Block shapes [B_pad, RB] with B_pad a multiple of 8 (for nb = 25
     that is 32 — ~1.3x pad waste; the old rows-on-sublanes layout padded
     25 bands to 128 LANES, 5.1x waste, and measured 0.97 ms of the
-    2.09 ms fixed-rate chunk — 46% of device encode, PERF.md round 4).
+    2.09 ms fixed-rate chunk — 46% of device encode, PERF.md round-3 perf session).
     """
     if warm:
         # in-kernel warm start from raw budgets: deletes the ~64

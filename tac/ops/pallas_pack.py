@@ -3,7 +3,7 @@
 Why: with the round-3 kernels in place, the XLA compare-reduce packer
 (tac.ops.bitpack.pack_rows) is ~87% of the fixed-rate device encode —
 2.05 ms of a 2.35 ms 1024-row chunk (measured on-chip, 24-96 chunks per
-dispatch; PERF.md round 4). Its [R, NF, W32] broadcast-compare runs
+dispatch; PERF.md round-3 perf session). Its [R, NF, W32] broadcast-compare runs
 through HBM; this kernel does the identical sorted segment-OR with rows
 across the vector tile ([8, 128] = 1024 rows per grid step) and the
 word accumulators in REGISTERS, in passes of WB=8 words:

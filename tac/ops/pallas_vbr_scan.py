@@ -130,7 +130,7 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     # loop-shape knobs (decision-exact at ANY setting: the warm start's
     # prefix lemma holds for any trip count, and unrolled post-done body
     # applications are the identity — pallas_alloc). Defaults measured on
-    # the live chip (tools/bench_vbr.py A/B, PERF.md round 4).
+    # the live chip (tools/bench_vbr.py A/B, PERF.md round-3 perf session).
     unroll = max(int(os.environ.get("TAC_WF_UNROLL", 1)), 1)
     ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 2)), 1)
     ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 20)), 1)

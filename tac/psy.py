@@ -100,8 +100,8 @@ def make_consts(cfg) -> PsyConsts:
     else:
         # hann-fused DFT-by-matmul bases: XLA:TPU's FFT measured 0.56 ms
         # per 1024-row chunk — over half the whole fixed-rate encode —
-        # while the MXU does the same contraction in ~0.1 ms (PERF.md
-        # round 4). |X|^2 needs only bins 0..H-1 of the real-input DFT.
+        # while the MXU does the same contraction in ~0.1 ms (PERF.md).
+        # |X|^2 needs only bins 0..H-1 of the real-input DFT.
         nk = np.arange(n)[:, None] * (np.arange(h)[None, :] * (2 * np.pi / n))
         fft_cos = jnp.asarray(hw[:, None] * np.cos(nk), dt)
         fft_sin = jnp.asarray(hw[:, None] * np.sin(nk), dt)
@@ -134,7 +134,7 @@ def band_slice_max(x, ranges: tuple, fill):
     Bit-identical to segment_max over the (contiguous) band map — max is
     order-independent — but compiles to dense fused reduces instead of a
     scatter-max (TPU scatters serialize per update; three of these sat in
-    the encode profile, PERF.md round 4). Empty bands yield `fill`.
+    the encode profile, PERF.md round-3 perf session). Empty bands yield `fill`.
     """
     cols = [jnp.max(x[..., s:e], axis=-1) if e > s
             else jnp.full(x.shape[:-1], fill, x.dtype)
