@@ -1,23 +1,28 @@
 """Pallas TPU kernel: MSB-first field packing (device bit packer hot path).
 
 Why: with the round-3 kernels in place, the XLA compare-reduce packer
-(tac.ops.bitpack.pack_rows) is ~87% of the fixed-rate device encode —
-2.05 ms of a 2.35 ms 1024-row chunk (measured on-chip, 24-96 chunks per
-dispatch; PERF.md round-3 perf session). Its [R, NF, W32] broadcast-compare runs
-through HBM; this kernel does the identical sorted segment-OR with rows
-across the vector tile ([8, 128] = 1024 rows per grid step) and the
-word accumulators in REGISTERS, in passes of WB=8 words:
+(tac.ops.bitpack.pack_rows) was ~87% of the fixed-rate device encode —
+2.05 ms of a 2.35 ms 1024-row chunk (measured on-chip; PERF.md). Both
+kernels here compute the identical sorted segment-OR with rows across
+the vector tile ([8, 128] = 1024 rows per grid step), the field axis on
+the inner grid dimension (FB fields per step, accumulated across steps
+into the same output block), and c0/c1 (each field's word0 / word0+1
+contributions) precomputed in XLA where they fuse into the quantize
+graph:
 
-  * the field axis is the grid's inner dimension (FB fields per step,
-    accumulated across steps into the same output block);
-  * per pass, a fori_loop over the step's fields adds each field's
-    word0 / word0+1 contributions (c0 / c1, precomputed in XLA — they
-    fuse into the quantize graph) into 8 register accumulators via
-    compare-selects — no scatter, no gather, no HBM intermediate;
-  * fields are processed in bit-position order per row, so the integer
-    adds equal bitwise OR exactly as in pack_rows (fields never share
-    bits; beyond-capacity fields drop identically: their word index
-    matches no accumulator).
+  * _kernel (TAC_PACK_WIN=0): register passes of WB=8 words; a
+    fori_loop over the step's fields adds contributions via
+    compare-selects — W32 compare-adds per field;
+  * _kernel_win (default): a WL=8-word register window anchored per
+    GF=12-field group (group bit span <= 31 + 12*16 < WL*32, so every
+    contribution lands in-window), flushed once per group — WL ops per
+    field plus W32*WL/GF per group, a 2-3x op cut that grows with W32
+    (VBR/combo capacities reach W32 = 208).
+
+  Fields are processed in bit-position order per row, so the integer
+  adds equal bitwise OR exactly as in pack_rows (fields never share
+  bits; beyond-capacity fields drop identically: their word/window
+  index matches no accumulator / no flushed output word).
 
 Bit-exact vs pack_rows by construction (pure integer ops, same drop
 semantics) — asserted in tests/test_device_pack.py (interpret mode on

@@ -6,9 +6,14 @@ re-designed as ONE fused XLA graph per frame (the BASELINE.json:5 mandate):
 
   * the reference's per-masker Python loop becomes a dense
     [MAX_MASKERS x H] broadcast of the two-slope spreading function;
-  * peak picking is a vectorized local-max mask + top_k (fixed MAX_MASKERS,
-    so shapes stay static under vmap);
-  * per-band reductions are segment ops over a compile-time band map.
+  * peak picking is a vectorized local-max mask, pair-compacted (strict
+    peaks are never adjacent) into a two-key sort with static top-K
+    shapes under vmap;
+  * the fast-mode spectrum is a hann-fused DFT by MXU matmul (XLA:TPU's
+    FFT is VPU-lowered and was over half the encode chunk); parity mode
+    keeps the f64 FFT for oracle bit-exactness;
+  * per-band reductions are dense static-slice reduces over the
+    compile-time band ranges (no TPU scatters).
 
 Everything here is pure jnp on [N]-sized vectors — vmapped over frames and
 channels by tac.codec. All formulas are frozen in SPEC.md §5.
