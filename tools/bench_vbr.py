@@ -83,11 +83,17 @@ def main() -> None:
     # --- flat VBR, 8-clip batch: the LANE-BATCHED leading entry (clips x
     # channels flatten into reservoir-scan lanes). vmap of the per-clip
     # entry would instead serialize 8 separate Pallas scans (measured
-    # 95 ms vs ~12 ms for the lane-batched scan on 8x15 s).
+    # 95 ms vs ~12 ms for the lane-batched scan on 8x15 s). Plain
+    # dispatches here, NOT the chained harness: chaining this big batch
+    # measured +70% (151 -> 261 ms/iter — keeping the chain input live
+    # defeats XLA's buffer reuse), while one 8x60-s dispatch is ~150 ms
+    # against the ~28 ms RPC, so the raw quotient understates the chip
+    # by <20%.
     b = 8
     xb = jnp.asarray(np.stack([x] * b), jnp.float32)
-    fn, k = chained(lambda xx: codec._encode_vbr_packed_leading(xx, cfg), xb)
-    out["vbr_batched_device"] = round(k * b * secs / timeit(fn), 1)
+    jb = jax.jit(lambda xx: codec._encode_vbr_packed_leading(xx, cfg))
+    dt = timeit(lambda: np.asarray(jb(xb)[1][0, 0, 0]))
+    out["vbr_batched_device"] = round(b * secs / dt, 1)
 
     print(json.dumps({"metric": "vbr_encode_throughput",
                       "unit": "audio_sec_per_sec_per_chip", **out}))
