@@ -218,7 +218,8 @@ def warm_start_tile(smr, n_lines, rem0, *, max_mant: int, nb: int,
 
 
 def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
-            max_mant: int, nb: int, warm: bool):
+            max_mant: int, nb: int, warm: bool, ws_rounds: int = 2,
+            ws_bisect: int = 20):
     """Transposed row-block kernel: bands on SUBLANES, rows on lanes.
 
     Block shapes [B_pad, RB] with B_pad a multiple of 8 (for nb = 25
@@ -232,6 +233,7 @@ def _kernel(smr_ref, nl_ref, alloc0_ref, rem0_ref, out_ref, *,
         # before this kernel (straight-line inside, no launch cost)
         alloc0, rem0 = warm_start_tile(smr_ref[:], nl_ref[:], rem0_ref[:],
                                        max_mant=max_mant, nb=nb,
+                                       rounds=ws_rounds, n_bisect=ws_bisect,
                                        band_axis=0)
     else:
         alloc0, rem0 = alloc0_ref[:], rem0_ref[:]
@@ -280,9 +282,14 @@ def water_fill_rows(smr_q, n_lines, alloc0, rem0, *, max_mant: int,
     rem_p = jnp.zeros((1, rp), jnp.int32).at[0, :r].set(
         rem0.astype(jnp.int32))
 
+    import os
+
+    ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 2)), 1)
+    ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 20)), 1)
     out = pl.pallas_call(
         functools.partial(_kernel, max_mant=min(max_mant, MANT_MAX), nb=b,
-                          warm=warm),
+                          warm=warm, ws_rounds=ws_rounds,
+                          ws_bisect=ws_bisect),
         out_shape=jax.ShapeDtypeStruct((bp, rp), jnp.int32),
         grid=(grid,),
         in_specs=[
