@@ -411,6 +411,67 @@ def _encode_bs_vbr_lanes(frames, states, res0, cfg: CodecConfig,
     return bc, swap(tids), swap(res_steps)
 
 
+def _encode_bs_vbr_lanes_to_words(frames, states, res0, cfg: CodecConfig,
+                                  c: BsConsts, cost_tab):
+    """_encode_bs_vbr_lanes fused to packed words: phase-3 quantization,
+    the combo payload-field build, and the bit pack run inside each row
+    chunk (the whole-array-pass elimination of codec._encode_rows_to_words
+    applied to the combo; bytes identical — every op is per-row).
+    frames f[L, F, N], states i32[L, F] → (words u32[L, F, W32],
+    nbits i32[L, F])."""
+    import os
+
+    from tac.ops.bitpack import pack_rows
+
+    cap = capacity_bits_bs_vbr(cfg, c)
+    if os.environ.get("TAC_VBR_SERIAL"):
+        bc, tids, _ = _encode_bs_vbr_lanes(frames, states, res0, cfg, c,
+                                           cost_tab)
+        vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    lanes, f = frames.shape[0], frames.shape[1]
+    res0 = jnp.broadcast_to(jnp.asarray(res0, jnp.int32), (lanes,))
+    rows = frames.reshape(lanes * f, frames.shape[-1])
+    st_rows = states.reshape(lanes * f)
+
+    def phase1(fr, st):
+        ll, sl, ls, ss = jax.vmap(
+            lambda f_, s_: analyze_frame_bs(f_, s_, cfg, c))(fr, st)
+        bh_l = codec_mod._vbr_band_costs(ll, cfg, c.cl)
+        bh_s = codec_mod._vbr_band_costs(ls, cfg, c.cg)
+        shrt = (st == SHORT)
+        smr = jnp.where(shrt[:, None], ss, sl)
+        bh = jnp.where(shrt[:, None, None], bh_s, bh_l)
+        return ll, ls, smr, bh
+
+    ll, ls, smr, bh = codec_mod._map_row_chunks(
+        phase1, (rows, st_rows), lanes * f)
+    nl_rows = jnp.where((st_rows == SHORT)[:, None],
+                        c.cg.n_lines, c.cl.n_lines)       # [R, B]
+    to_lf = lambda x: x.reshape(lanes, f, *x.shape[1:]).swapaxes(0, 1)
+
+    allocs, tids, _, _ = codec_mod._reservoir_chain(
+        to_lf(smr), to_lf(bh), to_lf(nl_rows), res0, c.cl.budget,
+        cfg.reservoir_factor * c.cl.budget, cfg)
+    al_rows = allocs.swapaxes(0, 1).reshape(lanes * f, -1)
+    tid_rows = tids.swapaxes(0, 1).reshape(lanes * f)
+
+    def chunk_words(l1, l2, al, st, td):
+        code_l = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+            a_, b_, cfg, c.cl))(l1, al)
+        code_s = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+            a_, b_, cfg, c.cg))(l2, al)
+        bc = BsFrameCode(state=st, long=code_l, short=code_s)
+        vals, wids = payload_fields_bs_vbr(bc, td, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    words, nbits = codec_mod._map_row_chunks(
+        chunk_words, (ll, ls, al_rows, st_rows, tid_rows), lanes * f)
+    return (words.reshape(lanes, f, words.shape[-1]),
+            nbits.reshape(lanes, f))
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
@@ -419,7 +480,6 @@ def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     channel's chain from fill 0), so corpus batches produce per-clip
     bytes identical to solo encodes (tests/test_corpus.py)."""
     from tac import huffman as hf
-    from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
     xt = x.astype(c.cl.dtype)
@@ -427,11 +487,9 @@ def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     lead, f = frames.shape[:-2], frames.shape[-2]
     states = window_states(transient_flags(xt, cfg), f)
     cost_tab = hf.cost_table_jnp()
-    bc, tids, _ = _encode_bs_vbr_lanes(
+    words, nbits = _encode_bs_vbr_lanes_to_words(
         frames.reshape(-1, f, frames.shape[-1]), states.reshape(-1, f),
         0, cfg, c, cost_tab)
-    vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)
-    words, nbits = pack_rows(vals, wids, capacity_bits_bs_vbr(cfg, c))
     return (words.reshape(*lead, f, words.shape[-1]),
             nbits.reshape(*lead, f))
 
@@ -524,7 +582,9 @@ def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]); all
-    leading axes flatten into one frame-row axis (_enc_chunk-bounded)."""
+    leading axes flatten into one frame-row axis (_enc_chunk-bounded).
+    Fields + pack run inside each chunk (codec._encode_rows_to_words's
+    whole-array-pass elimination; bytes identical)."""
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
@@ -534,12 +594,23 @@ def _encode_bs_packed_leading(x, cfg: CodecConfig):
     lead = frames.shape[:-1]
     f = frames.shape[-2]
     states = window_states(transient_flags(xt, cfg), f)
-    bc = _encode_rows_bs(frames.reshape(-1, frames.shape[-1]),
-                         states.reshape(-1), cfg, c)
-    bc = jax.tree_util.tree_map(
-        lambda l: l.reshape(*lead, *l.shape[1:]), bc)
-    vals, wids = payload_fields_bs(bc, cfg, c)
-    return pack_rows(vals, wids, capacity_bits_bs(cfg, c))
+    cap = capacity_bits_bs(cfg, c)
+    enc = jax.vmap(lambda fr, st: encode_frame_bs(fr, st, cfg, c))
+
+    def chunk_words(fr, st):
+        bc = enc(fr, st)
+        vals, wids = payload_fields_bs(bc, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    # half the tuned chunk: the bs chunk runs BOTH window paths per row
+    # plus fields+pack, and the full-size program deterministically
+    # faults this box's TPU worker (the same >1.7k-row fault mode the
+    # autotuner exists for; 1024 measured clean here)
+    words, nbits = codec_mod._map_row_chunks(
+        chunk_words, (frames.reshape(-1, frames.shape[-1]),
+                      states.reshape(-1)), int(np.prod(lead)),
+        chunk=max(512, codec_mod._enc_chunk() // 2))
+    return (words.reshape(*lead, words.shape[-1]), nbits.reshape(lead))
 
 
 def _encode_clip_bs_packed_impl(x, cfg: CodecConfig):

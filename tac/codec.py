@@ -266,6 +266,38 @@ def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
         lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
 
 
+def _encode_rows_to_words(frames_flat, cfg: CodecConfig, c: CodecConsts):
+    """frames_flat: [R, N] → (words uint32[R, W32], nbits int32[R]) with
+    the payload-field build and bit pack INSIDE each lax.map chunk.
+
+    Bit-identical to _encode_rows → payload_fields → pack_rows (every op
+    is per-row; only the chunk boundary moves), but the FrameCode leaves
+    (mant is [R, H] i32 — ~340 MB at corpus batch sizes) and the
+    [R, 1+2B+H] vals/wids field matrices never materialize at full size:
+    the one-shot pack's whole-array concatenate/cumsum/relayout passes
+    were ~27% of the fixed-rate batch device time (PERF.md round-3
+    continuation session). Each chunk emits only its packed words."""
+    from tac.ops.bitpack import pack_rows
+
+    cap = payload_capacity_bits(cfg, c)
+
+    def chunk_words(fc):
+        code = _encode_rows_chunk(fc, cfg, c)
+        vals, wids = payload_fields(code, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    chunk = _enc_chunk()
+    r = frames_flat.shape[0]
+    if r <= chunk:
+        return chunk_words(frames_flat)
+    pad = (-r) % chunk
+    fp = jnp.pad(frames_flat, ((0, pad), (0, 0)))
+    chunks = fp.reshape(-1, chunk, fp.shape[-1])
+    words, nbits = jax.lax.map(chunk_words, chunks)
+    return (words.reshape(-1, words.shape[-1])[:r],
+            nbits.reshape(-1)[:r])
+
+
 # ------------------------------------------------- device-packed payloads ---
 
 def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
@@ -350,14 +382,11 @@ def _encode_packed_leading(x, cfg: CodecConfig):
     so the auto-tuned row chunk bounds the per-program size regardless
     of batch shape (_enc_chunk, tac/tuning.py).
     """
-    from tac.ops.bitpack import pack_rows
-
     c = make_consts(cfg)
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
     lead = frames.shape[:-1]                   # [..., C, F]
-    code = _encode_rows(frames.reshape(-1, frames.shape[-1]), cfg, c)
-    vals, wids = payload_fields(code, cfg, c)
-    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    words, nbits = _encode_rows_to_words(
+        frames.reshape(-1, frames.shape[-1]), cfg, c)
     return (words.reshape(*lead, words.shape[-1]),
             nbits.reshape(lead))
 
@@ -375,14 +404,10 @@ def _encode_frames_packed(frames, cfg: CodecConfig):
     decision chain and packer as the offline clip path, so the emitted
     stream bytes equal the offline bytes by construction.
     """
-    from tac.ops.bitpack import pack_rows
-
     c = make_consts(cfg)
     lead = frames.shape[:-1]
-    code = _encode_rows(frames.reshape(-1, frames.shape[-1]).astype(c.dtype),
-                        cfg, c)
-    vals, wids = payload_fields(code, cfg, c)
-    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
+    words, nbits = _encode_rows_to_words(
+        frames.reshape(-1, frames.shape[-1]).astype(c.dtype), cfg, c)
     return words.reshape(*lead, words.shape[-1]), nbits.reshape(lead)
 
 
@@ -425,6 +450,8 @@ def _encode_frames_vbr_packed(prior, halves, res0, cfg: CodecConfig):
     frames = _frames_from_halves(prior, halves, c.dtype)
     codes, tids, _, res_steps = _encode_vbr_lanes(
         frames, jnp.asarray(res0, jnp.int32), cfg, c, cost_tab)
+    # push sizes are far below the chunk bound, so the one-shot field
+    # build here is already a single fused graph — no lax.map boundary
     vals, wids = payload_fields_vbr(codes, tids, cfg, c)
     words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
     return words, nbits, res_steps
@@ -829,11 +856,14 @@ def _vbr_price(alloc, bits_huf, n_lines):
     return jnp.sum(raw_b, -1), jnp.sum(huf_b, -1)
 
 
-def _map_row_chunks(fn, arrs, r: int):
+def _map_row_chunks(fn, arrs, r: int, chunk: Optional[int] = None):
     """Apply fn(*row_chunks) over _enc_chunk()-row chunks of [R, ...]
     arrays (lax.map past the chunk bound — the same program-size cap as
-    _encode_rows), concatenating the [chunk, ...] results back to [R, ...]."""
-    chunk = _enc_chunk()
+    _encode_rows), concatenating the [chunk, ...] results back to [R, ...].
+    chunk overrides the auto-tuned size (paths whose per-row program is
+    heavier than the probe's shrink it — the tuned value proxies
+    per-program size, not row count)."""
+    chunk = _enc_chunk() if chunk is None else chunk
     if r <= chunk:
         return fn(*arrs)
     pad = (-r) % chunk
@@ -876,8 +906,26 @@ def _encode_vbr_lanes(frames, res0, cfg: CodecConfig, c: CodecConsts,
         return jax.vmap(lambda fr, r0: _encode_channel_vbr(
             fr, r0, cfg, c, cost_tab))(frames, res0)
 
-    base = jnp.asarray(c.budget, jnp.int32)
-    cap = jnp.asarray(cfg.reservoir_factor * c.budget, jnp.int32)
+    lines, allocs, tids, used, res_steps = _vbr_decisions(frames, res0,
+                                                          cfg, c)
+    lanes_f = lanes * f
+    swap = lambda x: x.swapaxes(0, 1)                   # [F, L, ...] → [L, F]
+    # phase 3 (parallel): quantize every frame at the scan's allocations
+    codes = _map_row_chunks(
+        lambda ln, al: jax.vmap(
+            lambda l_, a_: quantize_given_alloc(l_, a_, cfg, c))(ln, al),
+        (lines, swap(allocs).reshape(lanes_f, -1)), lanes_f)
+    codes = jax.tree_util.tree_map(
+        lambda x: x.reshape(lanes, f, *x.shape[1:]), codes)
+    return codes, swap(tids), swap(used), swap(res_steps)
+
+
+def _vbr_decisions(frames, res0, cfg: CodecConfig, c: CodecConsts):
+    """Phases 1+2 of the lane-batched VBR encode: batched analysis +
+    pricing tables, then the serial reservoir chain. frames f[L, F, N],
+    res0 int32[L] → (lines f[L*F, H], allocs i32[F, L, B], tid/used/res
+    i32[F, L])."""
+    lanes, f = frames.shape[0], frames.shape[1]
     rows = frames.reshape(lanes * f, frames.shape[-1])
 
     # phase 1 (parallel): analysis + budget-independent pricing tables
@@ -892,16 +940,45 @@ def _encode_vbr_lanes(frames, res0, cfg: CodecConfig, c: CodecConsts,
     allocs, tids, used, res_steps = _reservoir_chain(
         to_lf(smr), to_lf(bits_huf), c.n_lines, res0, c.budget,
         cfg.reservoir_factor * c.budget, cfg)
+    return lines, allocs, tids, used, res_steps
 
-    # phase 3 (parallel): quantize every frame at the scan's allocations
+
+def _encode_vbr_lanes_to_words(frames, res0, cfg: CodecConfig,
+                               c: CodecConsts, cost_tab):
+    """_encode_vbr_lanes fused to packed words: phase 3 quantize, the VBR
+    payload-field build, AND the bit pack run inside each row chunk, so
+    the FrameCode leaves and [R, 2+2B+2H] field matrices stay chunk-sized
+    (same whole-array-pass elimination as _encode_rows_to_words; bytes
+    identical — every op is per-row). frames f[L, F, N], res0 int32[L or
+    scalar] → (words uint32[L, F, W32], nbits int32[L, F])."""
+    import os
+
+    from tac.ops.bitpack import pack_rows
+
+    lanes, f = frames.shape[0], frames.shape[1]
+    res0 = jnp.broadcast_to(jnp.asarray(res0, jnp.int32), (lanes,))
+    cap = payload_capacity_bits(cfg, c)
+    if os.environ.get("TAC_VBR_SERIAL"):
+        codes, tids, _, _ = _encode_vbr_lanes(frames, res0, cfg, c, cost_tab)
+        vals, wids = payload_fields_vbr(codes, tids, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    lines, allocs, tids, _, _ = _vbr_decisions(frames, res0, cfg, c)
+    lanes_f = lanes * f
     swap = lambda x: x.swapaxes(0, 1)                   # [F, L, ...] → [L, F]
-    codes = _map_row_chunks(
-        lambda ln, al: jax.vmap(
-            lambda l_, a_: quantize_given_alloc(l_, a_, cfg, c))(ln, al),
-        (lines, swap(allocs).reshape(lanes * f, -1)), lanes * f)
-    codes = jax.tree_util.tree_map(
-        lambda x: x.reshape(lanes, f, *x.shape[1:]), codes)
-    return codes, swap(tids), swap(used), swap(res_steps)
+
+    def chunk_words(ln, al, td):
+        code = jax.vmap(
+            lambda l_, a_: quantize_given_alloc(l_, a_, cfg, c))(ln, al)
+        vals, wids = payload_fields_vbr(code, td, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    words, nbits = _map_row_chunks(
+        chunk_words,
+        (lines, swap(allocs).reshape(lanes_f, -1),
+         swap(tids).reshape(lanes_f)), lanes_f)
+    return (words.reshape(lanes, f, words.shape[-1]),
+            nbits.reshape(lanes, f))
 
 
 def _reservoir_chain(smr, bits_huf, n_lines, res0, base: int, cap: int,
@@ -994,10 +1071,8 @@ def _encode_vbr_packed_leading(x, cfg: CodecConfig):
     cost_tab = hf.cost_table_jnp()
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
     lead, f = frames.shape[:-2], frames.shape[-2]     # [..., C], F
-    codes, tids, _, _ = _encode_vbr_lanes(
+    words, nbits = _encode_vbr_lanes_to_words(
         frames.reshape(-1, f, frames.shape[-1]), 0, cfg, c, cost_tab)
-    vals, wids = payload_fields_vbr(codes, tids, cfg, c)
-    words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
     return (words.reshape(*lead, f, words.shape[-1]),
             nbits.reshape(*lead, f))
 
