@@ -229,6 +229,9 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
             f"encode_array expects float[T] or [T, C] (got {x.shape}: "
             f"{c} channels) — transpose [C, T] input")
     if c != cfg.n_channels:
+        if cfg.stereo_mode == "ms" and c != 2:
+            raise ValueError(
+                f"stereo_mode='ms' requires 2-channel input, got {c}")
         cfg = cfg.replace(n_channels=c)
     h = cfg.n_mdct_lines
     n_lines = bands.lines_per_band(cfg.sample_rate, h)
@@ -262,7 +265,8 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         n_lines_short=(bands.lines_per_band(cfg.sample_rate,
                                             cfg.n_mdct_lines_short)
                        if cfg.use_block_switch else None),
-        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
+        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch,
+        ms=cfg.stereo_mode == "ms")
     return bs.write_header(hdr) + payload
 
 
@@ -274,6 +278,7 @@ def header_config(hdr: bs.PacHeader, precision: str = "fast") -> CodecConfig:
         n_scale_bits=hdr.n_scale_bits, n_mant_size_bits=hdr.n_mant_size_bits,
         use_huffman=hdr.huffman, use_block_switch=hdr.blockswitch,
         n_mdct_lines_short=max(hdr.n_mdct_lines_short, 1),
+        stereo_mode="ms" if hdr.ms else "lr",
         use_psy=False, precision=precision)
 
 

@@ -22,6 +22,7 @@ MAGIC = b"PACT"
 VERSION = 1
 FLAG_HUFFMAN = 1
 FLAG_BLOCKSWITCH = 2
+FLAG_MS = 4          # mid/side stereo: decode applies L = M+S, R = M−S
 
 
 # ----------------------------------------------------------- bit packing ----
@@ -107,11 +108,13 @@ class PacHeader:
     n_lines_short: np.ndarray | None
     huffman: bool
     blockswitch: bool
+    ms: bool = False            # mid/side stereo (SPEC.md §11)
 
 
 def write_header(h: PacHeader) -> bytes:
     flags = (FLAG_HUFFMAN if h.huffman else 0) | \
-            (FLAG_BLOCKSWITCH if h.blockswitch else 0)
+            (FLAG_BLOCKSWITCH if h.blockswitch else 0) | \
+            (FLAG_MS if h.ms else 0)
     out = [MAGIC,
            struct.pack("<HHIHQIHHBBB", VERSION, flags, h.sample_rate,
                        h.n_channels, h.num_samples, h.bitrate_bps,
@@ -143,13 +146,17 @@ def read_header(data: bytes) -> tuple[PacHeader, int]:
         off += 1
         n_lines_short = np.frombuffer(data, "<u2", nbs, off).astype(np.int32)
         off += 2 * nbs
+    if flags & FLAG_MS and nch != 2:
+        raise ValueError("mid/side flag on a non-stereo stream "
+                         "(corrupt header)")
     hdr = PacHeader(sample_rate=fs, n_channels=nch, num_samples=nsamp,
                     bitrate_bps=bps, n_mdct_lines=h_long,
                     n_mdct_lines_short=h_short, n_scale_bits=sbits,
                     n_mant_size_bits=abits, n_lines_long=n_lines_long,
                     n_lines_short=n_lines_short,
                     huffman=bool(flags & FLAG_HUFFMAN),
-                    blockswitch=bool(flags & FLAG_BLOCKSWITCH))
+                    blockswitch=bool(flags & FLAG_BLOCKSWITCH),
+                    ms=bool(flags & FLAG_MS))
     return hdr, off
 
 

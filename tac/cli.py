@@ -26,6 +26,9 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
     p.add_argument("--no-psy", action="store_true")
     p.add_argument("--huffman", action="store_true")
     p.add_argument("--blockswitch", action="store_true")
+    p.add_argument("--stereo", dest="stereo_mode", choices=["lr", "ms"],
+                   help="ms = mid/side transform + joint allocation "
+                        "(SPEC.md §11; stereo input only)")
     p.add_argument("--precision", choices=["parity", "fast"])
 
 
@@ -51,6 +54,8 @@ def _build_config(args, fs: int | None = None, n_ch: int | None = None
         kw["use_huffman"] = True
     if args.blockswitch:
         kw["use_block_switch"] = True
+    if getattr(args, "stereo_mode", None):
+        kw["stereo_mode"] = args.stereo_mode
     if args.precision:
         kw["precision"] = args.precision
     return cfg.replace(**kw) if kw else cfg

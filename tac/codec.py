@@ -50,6 +50,24 @@ class CodecConsts(NamedTuple):
     dtype: jnp.dtype
 
 
+def ms_forward(x):
+    """[..., 2, T] L/R → M/S: M = (L+R)/2, S = (L−R)/2 (SPEC.md §11).
+
+    The halving keeps M/S in [-1, 1) for full-scale correlated input; the
+    inverse is the exact sum/difference (no half), so the butterfly round
+    trip costs one rounding per sample — far below quantization noise."""
+    m = 0.5 * (x[..., 0, :] + x[..., 1, :])
+    s = 0.5 * (x[..., 0, :] - x[..., 1, :])
+    return jnp.stack([m, s], axis=-2)
+
+
+def ms_inverse(x):
+    """[..., 2, T] M/S → L/R: L = M + S, R = M − S."""
+    l = x[..., 0, :] + x[..., 1, :]
+    r = x[..., 0, :] - x[..., 1, :]
+    return jnp.stack([l, r], axis=-2)
+
+
 def frame_budget(cfg: CodecConfig, h: Optional[int] = None) -> int:
     """SPEC.md §6 per-(frame, channel) mantissa bit budget (2-bit tableId /
     windowState side fields come out of the budget in huffman / blockswitch
@@ -250,6 +268,44 @@ def _encode_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
         lines, alloc)
 
 
+def _joint_alloc_pairs(smr, cfg: CodecConfig, c: CodecConsts):
+    """Joint M/S allocation (SPEC.md §11): smr f[M, B] with channel PAIRS
+    adjacent along the row axis (row 2i = mid, 2i+1 = side of frame i) →
+    alloc i32[M, B]. ONE water-fill over the pair's concatenated 2B bands
+    sharing budget 2·c.budget — the same greedy decision chain as the
+    per-channel path (tie-breaks order mid's bands before side's), so the
+    serial oracle replays it on the concatenated arrays exactly."""
+    m = smr.shape[0]
+    nb = c.n_lines.shape[0]
+    smr2 = smr.reshape(m // 2, 2 * nb)
+    nl2 = jnp.concatenate([c.n_lines, c.n_lines])
+    budget2 = 2 * c.budget
+    if _use_pallas_alloc(cfg):
+        from tac.ops.pallas_alloc import water_fill_rows
+
+        smr_eff = jnp.zeros_like(smr2) if cfg.alloc_mode == "uniform" \
+            else smr2
+        smr_q = ba.snap_smr(smr_eff)
+        a0 = jnp.zeros(smr_q.shape, jnp.int32)
+        r0 = jnp.full(smr_q.shape[:1], budget2, jnp.int32)
+        alloc2 = water_fill_rows(smr_q, nl2, a0, r0,
+                                 max_mant=cfg.max_mant_bits,
+                                 nb=2 * nb, warm=ba._USE_WARM_START)
+    else:
+        alloc2 = jax.vmap(lambda s_: ba.allocate(
+            s_, nl2, budget2, cfg.alloc_mode, cfg.max_mant_bits))(smr2)
+    return alloc2.reshape(m, nb)
+
+
+def _encode_pair_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
+    """[M, N] frame rows, channel pairs adjacent → FrameCode [M, ...] with
+    the allocation made jointly per pair (the M/S encode chunk)."""
+    lines, smr = jax.vmap(lambda fr: analyze_frame(fr, cfg, c))(frames_chunk)
+    alloc = _joint_alloc_pairs(smr, cfg, c)
+    return jax.vmap(lambda l, al: quantize_given_alloc(l, al, cfg, c))(
+        lines, alloc)
+
+
 def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
     """frames_flat: [R, N] → FrameCode with [R, ...] leaves, computed in
     lax.map chunks of _enc_chunk() rows."""
@@ -266,7 +322,8 @@ def _encode_rows(frames_flat, cfg: CodecConfig, c: CodecConsts):
         lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
 
 
-def _encode_rows_to_words(frames_flat, cfg: CodecConfig, c: CodecConsts):
+def _encode_rows_to_words(frames_flat, cfg: CodecConfig, c: CodecConsts,
+                          pair: bool = False):
     """frames_flat: [R, N] → (words uint32[R, W32], nbits int32[R]) with
     the payload-field build and bit pack INSIDE each lax.map chunk.
 
@@ -276,13 +333,18 @@ def _encode_rows_to_words(frames_flat, cfg: CodecConfig, c: CodecConsts):
     [R, 1+2B+H] vals/wids field matrices never materialize at full size:
     the one-shot pack's whole-array concatenate/cumsum/relayout passes
     were ~27% of the fixed-rate batch device time (PERF.md round-3
-    continuation session). Each chunk emits only its packed words."""
+    continuation session). Each chunk emits only its packed words.
+
+    pair=True: rows carry channel PAIRS adjacently and allocation runs
+    jointly per pair (M/S mode; R and the chunk size are both even, so
+    pairs never split across a chunk boundary)."""
     from tac.ops.bitpack import pack_rows
 
     cap = payload_capacity_bits(cfg, c)
+    enc_chunk_fn = _encode_pair_rows_chunk if pair else _encode_rows_chunk
 
     def chunk_words(fc):
-        code = _encode_rows_chunk(fc, cfg, c)
+        code = enc_chunk_fn(fc, cfg, c)
         vals, wids = payload_fields(code, cfg, c)
         return pack_rows(vals, wids, cap)
 
@@ -363,6 +425,9 @@ def payload_capacity_bits(cfg: CodecConfig,
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     head = s + nb * (a + s) + (2 if cfg.use_huffman else 0)
     budget = c.budget if c is not None else frame_budget(cfg)
+    # joint M/S allocation can hand one channel the PAIR's whole budget
+    if cfg.stereo_mode == "ms":
+        budget *= 2
     budget_max = budget * ((1 + cfg.reservoir_factor)
                            if cfg.use_huffman else 1)
     return head + budget_max + 32
@@ -380,11 +445,24 @@ def _encode_packed_leading(x, cfg: CodecConfig):
 
     All leading axes (batch, channels, frames) flatten into one row axis
     so the auto-tuned row chunk bounds the per-program size regardless
-    of batch shape (_enc_chunk, tac/tuning.py).
+    of batch shape (_enc_chunk, tac/tuning.py). M/S mode transforms the
+    channel pair, interleaves rows frame-major so each pair is adjacent,
+    and allocates jointly (SPEC.md §11) — the emitted per-channel payload
+    layout is UNCHANGED (only the transform flag in the header differs).
     """
     c = make_consts(cfg)
-    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
+    xt = x.astype(c.dtype)
+    if cfg.stereo_mode == "ms":
+        xt = ms_forward(xt)
+    frames = fb.frame_signal(xt, cfg.n_mdct_lines)
     lead = frames.shape[:-1]                   # [..., C, F]
+    if cfg.stereo_mode == "ms":
+        fr = jnp.swapaxes(frames, -3, -2)      # [..., F, C, N]: pairs adjacent
+        words, nbits = _encode_rows_to_words(
+            fr.reshape(-1, fr.shape[-1]), cfg, c, pair=True)
+        words = jnp.swapaxes(
+            words.reshape(*fr.shape[:-1], words.shape[-1]), -3, -2)
+        return words, jnp.swapaxes(nbits.reshape(fr.shape[:-1]), -2, -1)
     words, nbits = _encode_rows_to_words(
         frames.reshape(-1, frames.shape[-1]), cfg, c)
     return (words.reshape(*lead, words.shape[-1]),
@@ -521,7 +599,8 @@ def _decode_clip_packed_impl(words, cfg: CodecConfig, t: int):
     lead = words.shape[:-1]                              # [C, F]
     code = _unpack_raw_fields(words.reshape(-1, words.shape[-1]), cfg, c)
     y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
-    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    out = fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    return ms_inverse(out) if cfg.stereo_mode == "ms" else out
 
 
 def decode_clip_packed(words, cfg: CodecConfig, t: int):
@@ -688,7 +767,8 @@ def _decode_clip_vbr_packed_impl(words, cfg: CodecConfig, t: int):
     lead = words.shape[:-1]                              # [C, F]
     code = _unpack_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
     y = jax.vmap(lambda fc: decode_frame(fc, cfg, c))(code)   # [K, N]
-    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    out = fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    return ms_inverse(out) if cfg.stereo_mode == "ms" else out
 
 
 def decode_clip_vbr_packed(words, cfg: CodecConfig, t: int):
@@ -1061,20 +1141,76 @@ def _encode_vbr_packed_leading(x, cfg: CodecConfig):
 
     x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]). All
     leading axes flatten into reservoir-scan lanes (each lane = one
-    channel's independent chain), so corpus batches ride the same
-    lane-batched scan as a single clip — byte-identical per clip to solo
-    encodes because every chain starts at reservoir fill 0."""
+    channel's independent chain — or one M/S PAIR's joint chain in ms
+    mode, SPEC.md §11), so corpus batches ride the same lane-batched scan
+    as a single clip — byte-identical per clip to solo encodes because
+    every chain starts at reservoir fill 0."""
     from tac import huffman as hf
-    from tac.ops.bitpack import pack_rows
 
     c = make_consts(cfg)
     cost_tab = hf.cost_table_jnp()
-    frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)
+    xt = x.astype(c.dtype)
+    if cfg.stereo_mode == "ms":
+        xt = ms_forward(xt)
+    frames = fb.frame_signal(xt, cfg.n_mdct_lines)
     lead, f = frames.shape[:-2], frames.shape[-2]     # [..., C], F
+    if cfg.stereo_mode == "ms":
+        pf = frames.reshape(-1, 2, f, frames.shape[-1])  # [P, 2, F, N]
+        words, nbits = _encode_vbr_ms_to_words(pf, cfg, c)
+        return (words.reshape(*lead, f, words.shape[-1]),
+                nbits.reshape(*lead, f))
     words, nbits = _encode_vbr_lanes_to_words(
         frames.reshape(-1, f, frames.shape[-1]), 0, cfg, c, cost_tab)
     return (words.reshape(*lead, f, words.shape[-1]),
             nbits.reshape(*lead, f))
+
+
+def _encode_vbr_ms_to_words(frames, cfg: CodecConfig, c: CodecConsts):
+    """M/S joint-reservoir VBR encode (SPEC.md §11 × §8), packed.
+
+    frames f[P, 2, F, N] (P stereo pairs, already M/S-transformed) →
+    (words u32[P, 2, F, W32], nbits i32[P, 2, F]). One reservoir LANE per
+    pair: the scan allocates over the pair's concatenated 2B bands with
+    base = 2·budget, cap = reservoir_factor · 2·budget, and the
+    raw-vs-huffman choice is made JOINTLY (one tableId per pair, written
+    into both channels' payloads — the pricing sum over 2B bands IS the
+    pair sum). Phase 1/3 and the per-channel payload layout are the flat
+    VBR path's, unchanged."""
+    from tac.ops.bitpack import pack_rows
+
+    p, _, f, n = frames.shape
+    nb = c.n_lines.shape[0]
+    cap_bits = payload_capacity_bits(cfg, c)
+    # frame-major pair-adjacent rows: row (pr, fr, ch)
+    rows = frames.swapaxes(1, 2).reshape(p * f * 2, n)
+
+    lines, smr, bits_huf = _map_row_chunks(
+        lambda fr_: _vbr_phase1(fr_, cfg, c), (rows,), p * f * 2)
+    # pair-join the band axis: [P*F, 2, B] → [P, F, 2B]
+    smr2 = smr.reshape(p, f, 2 * nb)
+    bh2 = bits_huf.reshape(p, f, 2 * nb, bits_huf.shape[-1])
+    nl2 = jnp.concatenate([c.n_lines, c.n_lines])
+    to_fl = lambda x_: x_.swapaxes(0, 1)               # [P, F, ...] → [F, P]
+
+    allocs, tids, _, _ = _reservoir_chain(
+        to_fl(smr2), to_fl(bh2), nl2, jnp.zeros((p,), jnp.int32),
+        2 * c.budget, cfg.reservoir_factor * 2 * c.budget, cfg)
+
+    # per-row allocations + the pair's joint tid broadcast to both rows
+    al_rows = allocs.swapaxes(0, 1).reshape(p * f * 2, nb)
+    tid_rows = jnp.repeat(tids.swapaxes(0, 1).reshape(p * f), 2)
+
+    def chunk_words(ln, al, td):
+        code = jax.vmap(
+            lambda l_, a_: quantize_given_alloc(l_, a_, cfg, c))(ln, al)
+        vals, wids = payload_fields_vbr(code, td, cfg, c)
+        return pack_rows(vals, wids, cap_bits)
+
+    words, nbits = _map_row_chunks(
+        chunk_words, (lines, al_rows, tid_rows), p * f * 2)
+    # rows are [P, F, 2] → [P, 2, F]
+    words = words.reshape(p, f, 2, words.shape[-1]).swapaxes(1, 2)
+    return words, nbits.reshape(p, f, 2).swapaxes(1, 2)
 
 
 def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):

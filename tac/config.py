@@ -45,6 +45,13 @@ class CodecConfig:
     use_huffman: bool = False
     reservoir_factor: int = 4           # reservoir cap = factor * per-block budget
 
+    # Stereo coding (SPEC.md §11 — an extension BEYOND the reference):
+    # "lr" = independent channels (reference behavior); "ms" = mid/side
+    # transform + JOINT bit allocation across both channels' bands (one
+    # water-fill over 2B bands sharing the frame's total budget — the
+    # side channel of correlated material frees its bits for the mid).
+    stereo_mode: str = "lr"
+
     # Block switching / streaming
     use_block_switch: bool = False
     n_mdct_lines_short: int = 128
@@ -67,6 +74,16 @@ class CodecConfig:
         if self.use_block_switch:
             if self.n_mdct_lines % self.n_mdct_lines_short:
                 raise ValueError("short lines must divide long lines")
+        if self.stereo_mode not in ("lr", "ms"):
+            raise ValueError(f"unknown stereo_mode {self.stereo_mode!r}")
+        if self.stereo_mode == "ms":
+            if self.n_channels != 2:
+                raise ValueError("stereo_mode='ms' requires n_channels=2")
+            if self.use_block_switch:
+                raise ValueError(
+                    "stereo_mode='ms' with block switching is not "
+                    "supported yet (joint allocation needs a shared "
+                    "window state) — use stereo_mode='lr'")
 
     # ---- derived (all python ints: static under jit) ----
 
@@ -122,5 +139,16 @@ PRESETS = {
     "vbr-bs": CodecConfig(
         sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
         use_psy=True, use_huffman=True, use_block_switch=True,
+    ),
+    # 7. Mid/side joint-stereo (SPEC.md §11 — beyond the reference):
+    #    config 2 with the M/S transform + joint 2B-band allocation.
+    "stereo44-128-ms": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, alloc_mode="greedy", stereo_mode="ms",
+    ),
+    # 8. Mid/side × Huffman VBR (joint reservoir over the pair).
+    "vbr-ms": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, use_huffman=True, stereo_mode="ms",
     ),
 }

@@ -52,7 +52,8 @@ def _header_bytes(cfg: CodecConfig, n_ch: int, t: int) -> bytes:
         n_lines_short=(bands.lines_per_band(cfg.sample_rate,
                                             cfg.n_mdct_lines_short)
                        if cfg.use_block_switch else None),
-        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch))
+        huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch,
+        ms=cfg.stereo_mode == "ms"))
 
 
 def _load_manifest(path: str) -> dict[str, dict]:

@@ -26,6 +26,9 @@ def encode(wav_path: str, pac_path: str, cfg: CodecConfig) -> None:
         data = wav.ReadDataBlock(cp)
         if data is None:
             break
+        if cfg.stereo_mode == "ms":      # per-block butterfly == whole-signal
+            data = [0.5 * (np.asarray(data[0]) + np.asarray(data[1])),
+                    0.5 * (np.asarray(data[0]) - np.asarray(data[1]))]
         pac.WriteDataBlock(data, cp)
     pac.Close(cp)
     wav.Close(cp)
@@ -41,6 +44,9 @@ def decode(pac_path: str, wav_path: str,
         data = pac.ReadDataBlock(cp)
         if data is None:
             break
+        if pac.cfg.stereo_mode == "ms":
+            data = [np.asarray(data[0]) + np.asarray(data[1]),
+                    np.asarray(data[0]) - np.asarray(data[1])]
         out.WriteDataBlock(data, cp)
     out.Close(cp)
     pac.Close(cp)
@@ -57,6 +63,10 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
         x = x[:, None]
     t, c = x.shape
     cfg = cfg.replace(n_channels=c)
+    if cfg.stereo_mode == "ms":
+        # butterfly whole-signal (SPEC.md §11) — blocks below see M/S
+        x = np.stack([0.5 * (x[:, 0] + x[:, 1]),
+                      0.5 * (x[:, 0] - x[:, 1])], axis=1)
     h = cfg.n_mdct_lines
     cp = CodingParams(sampleRate=cfg.sample_rate, nChannels=c, numSamples=t,
                       nSamplesPerBlock=h)
@@ -142,4 +152,6 @@ def decode_array(data: bytes, cfg: CodecConfig | None = None
                 break
             chunks.append(np.stack(out, axis=1))
     x = np.concatenate(chunks, axis=0)[:cp.numSamples]
+    if pac.cfg.stereo_mode == "ms":
+        x = np.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
     return x, cp.sampleRate

@@ -27,21 +27,11 @@ def mantissa_budget(cfg: CodecConfig, h: int) -> int:
     return max(int(b), 0)
 
 
-def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig,
-                        budget: int | None = None):
-    """[N] samples → (ovs, alloc[B], scale[B], mant list per band).
-
-    budget overrides the static per-frame mantissa budget (VBR reservoir,
-    SPEC.md §8) — must mirror tac.codec.encode_frame(budget=...).
-    """
+def _analyze(fullBlock: np.ndarray, cfg: CodecConfig):
+    """Window + MDCT + SMR of one [N] block → (X[H], smr[B] pre-snap)."""
     h = cfg.n_mdct_lines
-    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     w = get_window(cfg.window, 2 * h, cfg.kbd_alpha)
     X = MDCT(w * fullBlock, h, h)
-
-    ovs = qz.ScaleFactor(np.max(np.abs(X)), s, a)
-
-    n_lines = bands.lines_per_band(cfg.sample_rate, h)
     bol = bands.band_of_line(cfg.sample_rate, h)
     if cfg.use_psy and cfg.alloc_mode in ("greedy", "const_mnr"):
         smr = psy.CalcSMRs(fullBlock, X, 0, cfg.sample_rate, w)
@@ -52,13 +42,21 @@ def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig,
             smr[bol[k]] = max(smr[bol[k]], spl[k])
     else:
         smr = np.zeros(bands.N_BANDS)
+    return X, smr
 
-    if budget is None:
-        budget = mantissa_budget(cfg, h)
-    alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
-                        ba.snap_smr(smr) if cfg.alloc_mode != "uniform"
-                        else np.zeros(bands.N_BANDS))
 
+def _smr_snapped(smr: np.ndarray, cfg: CodecConfig) -> np.ndarray:
+    return ba.snap_smr(smr) if cfg.alloc_mode != "uniform" \
+        else np.zeros(bands.N_BANDS)
+
+
+def _quantize_with_alloc(X: np.ndarray, alloc: np.ndarray,
+                         cfg: CodecConfig):
+    """Spectrum + final allocation → (ovs, alloc, scale, mant per band)."""
+    h = cfg.n_mdct_lines
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    ovs = qz.ScaleFactor(np.max(np.abs(X)), s, a)
     scaled = X * 2.0 ** ovs
     scale = np.zeros(bands.N_BANDS, np.int64)
     mant = []
@@ -73,6 +71,47 @@ def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig,
         else:
             mant.append([])
     return ovs, alloc, scale, mant
+
+
+def EncodeSingleChannel(fullBlock: np.ndarray, cfg: CodecConfig,
+                        budget: int | None = None):
+    """[N] samples → (ovs, alloc[B], scale[B], mant list per band).
+
+    budget overrides the static per-frame mantissa budget (VBR reservoir,
+    SPEC.md §8) — must mirror tac.codec.encode_frame(budget=...).
+    """
+    h = cfg.n_mdct_lines
+    X, smr = _analyze(fullBlock, cfg)
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    if budget is None:
+        budget = mantissa_budget(cfg, h)
+    alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
+                        _smr_snapped(smr, cfg))
+    return _quantize_with_alloc(X, alloc, cfg)
+
+
+def EncodeBlockMS(full_m: np.ndarray, full_s: np.ndarray, cfg: CodecConfig,
+                  budget: int | None = None):
+    """Joint M/S encode of one block pair (SPEC.md §11).
+
+    full_m/full_s: [N] mid/side samples (already butterflied). ONE greedy
+    BitAlloc over the concatenated 2B bands (mid's bands first — the tac
+    joint water-fill's tie-break order) with budget 2× the per-channel
+    budget. Returns [(ovs, alloc, scale, mant), ...] per channel; must
+    mirror tac.codec._joint_alloc_pairs decision-for-decision."""
+    h = cfg.n_mdct_lines
+    n_lines = bands.lines_per_band(cfg.sample_rate, h)
+    Xm, smr_m = _analyze(full_m, cfg)
+    Xs, smr_s = _analyze(full_s, cfg)
+    if budget is None:
+        budget = 2 * mantissa_budget(cfg, h)
+    smr2 = np.concatenate([_smr_snapped(smr_m, cfg),
+                           _smr_snapped(smr_s, cfg)])
+    nl2 = np.concatenate([n_lines, n_lines])
+    alloc2 = ba.BitAlloc(budget, cfg.max_mant_bits, 2 * bands.N_BANDS,
+                         nl2, smr2)
+    return [_quantize_with_alloc(Xm, alloc2[:bands.N_BANDS], cfg),
+            _quantize_with_alloc(Xs, alloc2[bands.N_BANDS:], cfg)]
 
 
 def DecodeSingleChannel(ovs: int, alloc, scale, mant, cfg: CodecConfig

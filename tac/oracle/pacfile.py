@@ -188,19 +188,25 @@ class PACFile(AudioFile):
             n_lines_short=(bands.lines_per_band(cp.sampleRate,
                                                 cfg.n_mdct_lines_short)
                            if cfg.use_block_switch else None),
-            huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch)
+            huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch,
+            ms=cfg.stereo_mode == "ms")
         self.fp.write(bs.write_header(hdr))
         self._prior = [np.zeros(h) for _ in range(cp.nChannels)]
         self._res = [0] * cp.nChannels       # VBR bit reservoir (SPEC.md §8)
+        # (ms mode uses one JOINT reservoir — kept in self._res[0])
 
     def WriteDataBlock(self, data, cp: CodingParams) -> None:
         """data: list of [H] new samples per channel (the reference's serial
-        overlap contract, SURVEY.md §3.1)."""
+        overlap contract, SURVEY.md §3.1). In ms mode `data` must already
+        be mid/side (the array/file drivers butterfly whole-signal)."""
         from tac.oracle.codec import mantissa_budget
 
         cfg = self.cfg
         base = mantissa_budget(cfg, cfg.n_mdct_lines)
         cap = cfg.reservoir_factor * base
+        if cfg.stereo_mode == "ms":
+            self._write_block_ms(data, base)
+            return
         for c in range(cp.nChannels):
             full = np.concatenate([self._prior[c], data[c]])
             self._prior[c] = np.asarray(data[c], np.float64).copy()
@@ -217,6 +223,39 @@ class PACFile(AudioFile):
             else:
                 payload = _write_payload(*EncodeSingleChannel(full, cfg),
                                          cfg)
+            self.fp.write(len(payload).to_bytes(2, "little"))
+            self.fp.write(payload)
+
+    def _write_block_ms(self, data, base: int) -> None:
+        """Joint M/S block write (SPEC.md §11): one BitAlloc over the
+        pair's 2B bands; huffman mode uses one JOINT reservoir and one
+        tableId written into both channels' payloads."""
+        from tac.oracle.codec import EncodeBlockMS
+
+        cfg = self.cfg
+        fulls = []
+        for c in range(2):
+            fulls.append(np.concatenate([self._prior[c], data[c]]))
+            self._prior[c] = np.asarray(data[c], np.float64).copy()
+        if cfg.use_huffman:
+            base2 = 2 * base
+            cap2 = cfg.reservoir_factor * base2
+            budget = base2 + self._res[0]
+            tuples = EncodeBlockMS(fulls[0], fulls[1], cfg, budget)
+            raw = huf = 0
+            for ovs, alloc, scale, mant in tuples:
+                r_, h_ = _mantissa_costs(alloc, mant, cfg)
+                raw += r_
+                huf += h_
+            tid = 1 if huf < raw else 0
+            used = min(raw, huf)
+            self._res[0] = min(max(self._res[0] + base2 - used, 0), cap2)
+            payloads = [_write_payload(*t, cfg, table_id=tid)
+                        for t in tuples]
+        else:
+            tuples = EncodeBlockMS(fulls[0], fulls[1], cfg)
+            payloads = [_write_payload(*t, cfg) for t in tuples]
+        for payload in payloads:
             self.fp.write(len(payload).to_bytes(2, "little"))
             self.fp.write(payload)
 
@@ -239,6 +278,7 @@ class PACFile(AudioFile):
             n_scale_bits=hdr.n_scale_bits,
             n_mant_size_bits=hdr.n_mant_size_bits,
             use_huffman=hdr.huffman, use_block_switch=hdr.blockswitch,
+            stereo_mode="ms" if hdr.ms else "lr",
             n_mdct_lines_short=max(hdr.n_mdct_lines_short, 1))
         cp = CodingParams()
         cp.sampleRate = hdr.sample_rate

@@ -99,6 +99,10 @@ class StreamEncoder:
     """
 
     def __init__(self, cfg: CodecConfig, n_channels: Optional[int] = None):
+        if cfg.stereo_mode == "ms":
+            raise NotImplementedError(
+                "streaming with stereo_mode='ms' is not supported yet — "
+                "use the offline encoder (tac.api) or stereo_mode='lr'")
         c = n_channels or cfg.n_channels
         self.cfg = cfg.replace(n_channels=c)
         h = cfg.n_mdct_lines
@@ -250,6 +254,10 @@ class StreamDecoder:
     """
 
     def __init__(self, cfg: CodecConfig, num_samples: int = 0):
+        if cfg.stereo_mode == "ms":
+            raise NotImplementedError(
+                "streaming decode of mid/side streams is not supported "
+                "yet — use tac.api.decode_array")
         self.cfg = cfg
         self.num_samples = int(num_samples)   # 0 = unknown (emit everything)
         self.buf = b""

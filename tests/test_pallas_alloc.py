@@ -68,6 +68,23 @@ def test_kernel_equals_oracle(rng):
         np.testing.assert_array_equal(out[i], want, err_msg=str(i))
 
 
+def test_kernel_joint_ms_bands(rng):
+    """The M/S joint-allocation shape (SPEC.md §11): 2B = 50 concatenated
+    bands sharing a doubled budget — the exact call _joint_alloc_pairs
+    makes. Kernel (warm, in-kernel start) vs the XLA allocate chain."""
+    nl2 = np.concatenate([NL, NL])
+    smr = rng.normal(10, 25, (16, len(nl2))).astype(np.float32)
+    smr_q = ba.snap_smr(jnp.asarray(smr))
+    ref = jax.vmap(lambda s: ba.allocate(
+        s, jnp.asarray(nl2), 2 * 1282, "greedy", 16))(smr_q)
+    zeros = jnp.zeros(smr_q.shape, jnp.int32)
+    budgets = jnp.full((len(smr),), 2 * 1282, jnp.int32)
+    out = water_fill_rows(smr_q, jnp.asarray(nl2), zeros, budgets,
+                          max_mant=16, nb=len(nl2), interpret=True,
+                          warm=True)
+    np.testing.assert_array_equal(np.asarray(ref), np.asarray(out))
+
+
 def test_kernel_in_kernel_warm_start(rng):
     """warm=True (warm_start_tile runs inside the kernel from raw
     budgets) must equal the externally-warm-started call exactly."""

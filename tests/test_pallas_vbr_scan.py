@@ -73,6 +73,28 @@ def test_scan_kernel_per_frame_n_lines(rng, monkeypatch):
         np.testing.assert_array_equal(r, o, err_msg=name)
 
 
+def test_scan_kernel_joint_ms_bands(rng):
+    """The M/S joint-reservoir shape (SPEC.md §11 x §8): each lane is a
+    channel PAIR — 2B = 50 concatenated bands, doubled base/cap — the
+    exact geometry _encode_vbr_ms_to_words feeds _reservoir_chain."""
+    f, lanes = 6, 2
+    nl2 = np.concatenate([NL, NL])
+    smr = rng.normal(8, 22, (f, lanes, 2 * B)).astype(np.float32)
+    m = rng.integers(MIN_M, MAX_M + 1, (f, lanes, 2 * B, 7))
+    bh = (m * nl2[None, None, :, None]
+          * rng.uniform(0.7, 1.3, m.shape)).astype(np.int32)
+    res0 = np.zeros(lanes, np.int32)
+    ref = _chain_ref(smr, bh, nl2, res0, 1400, 5600)
+    from tac import bitalloc as ba
+    out = vbr_reservoir_scan(
+        ba.snap_smr(jnp.asarray(smr, jnp.float32)), jnp.asarray(bh),
+        jnp.asarray(nl2), jnp.asarray(res0), base=1400, cap=5600,
+        max_mant=16, nb=2 * B, interpret=True)
+    for r, o, name in zip(ref, [np.asarray(x) for x in out],
+                          ["alloc", "tid", "used", "res"]):
+        np.testing.assert_array_equal(r, o, err_msg=name)
+
+
 def test_scan_kernel_resumes_mid_stream(rng):
     """Chain split at frame k with carried fills == unsplit chain
     (the streaming StreamState resume contract)."""

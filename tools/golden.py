@@ -73,6 +73,12 @@ def cases():
            PRESETS["vbr-bs"].replace(precision="parity", n_mdct_lines=256,
                                      n_mdct_lines_short=64, n_channels=1),
            material["transient44"])
+    yield ("config7_ms_stereo",
+           PRESETS["stereo44-128-ms"].replace(precision="parity"),
+           material["stereo44"])
+    yield ("config8_ms_vbr",
+           PRESETS["vbr-ms"].replace(precision="parity"),
+           material["stereo44"])
 
 
 def digests() -> dict[str, dict]:
