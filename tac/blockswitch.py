@@ -257,8 +257,10 @@ def capacity_bits_bs(cfg: CodecConfig, c: BsConsts = None) -> int:
     """Pure host arithmetic — decode staging must NOT build BsConsts (its
     eager basis matrices are a multi-MB device upload per call)."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
-    return 2 + s + bands.N_BANDS * (a + s) \
-        + codec_mod.frame_budget(cfg) + 32
+    budget = codec_mod.frame_budget(cfg)
+    if cfg.stereo_mode == "ms":      # joint alloc: one channel may take all
+        budget *= 2
+    return 2 + s + bands.N_BANDS * (a + s) + budget + 32
 
 
 # ----------------------------------------------- huffman + block switching ---
@@ -308,8 +310,11 @@ def capacity_bits_bs_vbr(cfg: CodecConfig, c: BsConsts = None) -> int:
     """Pure host arithmetic — decode staging must NOT build BsConsts (its
     eager basis matrices are a multi-MB device upload per call)."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    budget = codec_mod.frame_budget(cfg)
+    if cfg.stereo_mode == "ms":      # joint reservoir: pair budget, one ch
+        budget *= 2
     return 2 + s + 2 + bands.N_BANDS * (a + s) \
-        + codec_mod.frame_budget(cfg) * (1 + cfg.reservoir_factor) + 32
+        + budget * (1 + cfg.reservoir_factor) + 32
 
 
 def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
@@ -472,21 +477,99 @@ def _encode_bs_vbr_lanes_to_words(frames, states, res0, cfg: CodecConfig,
             nbits.reshape(lanes, f))
 
 
+def _encode_bs_vbr_ms_to_words(frames, states, res0, cfg: CodecConfig,
+                               c: BsConsts):
+    """M/S × blockswitch × huffman-VBR encode (SPEC.md §11 × §9 × §8).
+
+    frames f[P, 2, F, N] (M/S-transformed pairs), states i32[P, F]
+    (SHARED per pair), res0 i32[P] carried joint fills → (words
+    u32[P, 2, F, W32], nbits i32[P, 2, F], res_steps i32[P, F]). One
+    reservoir lane per pair over the 2B STATE-SELECTED bands (base =
+    2·budget); the raw-vs-huffman choice is joint (one tableId per
+    pair). Same phase structure as _encode_bs_vbr_lanes_to_words."""
+    from tac.ops.bitpack import pack_rows
+
+    p, _, f, n = frames.shape
+    nb = bands.N_BANDS
+    cap = capacity_bits_bs_vbr(cfg, c)
+    # frame-major pair-adjacent rows: row (pr, fr, ch); both rows of a
+    # pair carry the SAME window state
+    rows = frames.swapaxes(1, 2).reshape(p * f * 2, n)
+    st_rows = jnp.repeat(states.reshape(p * f), 2)
+
+    def phase1(fr, st):
+        ll, sl, ls, ss = jax.vmap(
+            lambda f_, s_: analyze_frame_bs(f_, s_, cfg, c))(fr, st)
+        bh_l = codec_mod._vbr_band_costs(ll, cfg, c.cl)
+        bh_s = codec_mod._vbr_band_costs(ls, cfg, c.cg)
+        shrt = (st == SHORT)
+        smr = jnp.where(shrt[:, None], ss, sl)
+        bh = jnp.where(shrt[:, None, None], bh_s, bh_l)
+        return ll, ls, smr, bh
+
+    ll, ls, smr, bh = codec_mod._map_row_chunks(
+        phase1, (rows, st_rows), p * f * 2)
+    nl_rows = jnp.where((st_rows == SHORT)[:, None],
+                        c.cg.n_lines, c.cl.n_lines)       # [R, B]
+    # pair-join the band axis: rows (pr, fr, ch) → [P, F, 2B]
+    smr2 = smr.reshape(p, f, 2 * nb)
+    bh2 = bh.reshape(p, f, 2 * nb, bh.shape[-1])
+    nl2 = nl_rows.reshape(p, f, 2 * nb)
+    to_fl = lambda x_: x_.swapaxes(0, 1)                 # [P, F, ..]→[F, P]
+
+    allocs, tids, _, res_steps = codec_mod._reservoir_chain(
+        to_fl(smr2), to_fl(bh2), to_fl(nl2),
+        jnp.asarray(res0, jnp.int32), 2 * c.cl.budget,
+        cfg.reservoir_factor * 2 * c.cl.budget, cfg)
+
+    al_rows = allocs.swapaxes(0, 1).reshape(p * f * 2, nb)
+    tid_rows = jnp.repeat(tids.swapaxes(0, 1).reshape(p * f), 2)
+
+    def chunk_words(l1, l2, al, st, td):
+        code_l = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+            a_, b_, cfg, c.cl))(l1, al)
+        code_s = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+            a_, b_, cfg, c.cg))(l2, al)
+        bc = BsFrameCode(state=st, long=code_l, short=code_s)
+        vals, wids = payload_fields_bs_vbr(bc, td, cfg, c)
+        return pack_rows(vals, wids, cap)
+
+    words, nbits = codec_mod._map_row_chunks(
+        chunk_words, (ll, ls, al_rows, st_rows, tid_rows), p * f * 2)
+    words = words.reshape(p, f, 2, words.shape[-1]).swapaxes(1, 2)
+    return (words, nbits.reshape(p, f, 2).swapaxes(1, 2),
+            res_steps.swapaxes(0, 1))
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]).
 
     Leading axes flatten into independent reservoir lanes (each lane one
-    channel's chain from fill 0), so corpus batches produce per-clip
-    bytes identical to solo encodes (tests/test_corpus.py)."""
+    channel's chain from fill 0 — or one M/S PAIR's joint chain with a
+    SHARED window state in ms mode, SPEC.md §11), so corpus batches
+    produce per-clip bytes identical to solo encodes
+    (tests/test_corpus.py)."""
     from tac import huffman as hf
 
     c = make_bs_consts(cfg)
     xt = x.astype(c.cl.dtype)
+    if cfg.stereo_mode == "ms":
+        xt = codec_mod.ms_forward(xt)
     frames = fb.frame_signal(xt, cfg.n_mdct_lines)       # [..., C, F, N]
     lead, f = frames.shape[:-2], frames.shape[-2]
-    states = window_states(transient_flags(xt, cfg), f)
     cost_tab = hf.cost_table_jnp()
+    if cfg.stereo_mode == "ms":
+        tfl = transient_flags(xt, cfg)
+        t_pair = tfl[..., 0, :] | tfl[..., 1, :]
+        states = window_states(t_pair, f)                # [..., F] shared
+        pf = frames.reshape(-1, 2, f, frames.shape[-1])
+        words, nbits, _ = _encode_bs_vbr_ms_to_words(
+            pf, states.reshape(-1, f), jnp.zeros(pf.shape[0], jnp.int32),
+            cfg, c)
+        return (words.reshape(*lead, f, words.shape[-1]),
+                nbits.reshape(*lead, f))
+    states = window_states(transient_flags(xt, cfg), f)
     words, nbits = _encode_bs_vbr_lanes_to_words(
         frames.reshape(-1, f, frames.shape[-1]), states.reshape(-1, f),
         0, cfg, c, cost_tab)
@@ -552,7 +635,8 @@ def _decode_clip_bs_vbr_packed_impl(words, cfg: CodecConfig, t: int):
     lead = words.shape[:-1]                              # [C, F]
     bc = _unpack_bs_vbr_fields(words.reshape(-1, words.shape[-1]), cfg, c)
     y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)    # [K, N]
-    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    out = fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    return codec_mod.ms_inverse(out) if cfg.stereo_mode == "ms" else out
 
 
 def decode_clip_bs_vbr_packed(words, cfg: CodecConfig, t: int):
@@ -579,22 +663,72 @@ def _encode_rows_bs(frames_flat, states_flat, cfg: CodecConfig,
         lambda l: l.reshape(-1, *l.shape[2:])[:r], out)
 
 
+def _encode_ms_bs_rows_chunk(fr, st, cfg: CodecConfig, c: BsConsts):
+    """[M, N] pair-adjacent frame rows + shared states → (BsFrameCode,
+    joint alloc): the M/S × blockswitch encode chunk (SPEC.md §11 × §9).
+    One water-fill per pair over the 2B STATE-SELECTED bands (both rows
+    of a pair carry the same state, hence the same band map)."""
+    ll, sl, ls, ss = jax.vmap(
+        lambda f_, s_: analyze_frame_bs(f_, s_, cfg, c))(fr, st)
+    shrt = (st == SHORT)
+    smr = jnp.where(shrt[:, None], ss, sl)
+    nl = jnp.where(shrt[:, None], c.cg.n_lines, c.cl.n_lines)
+    alloc = codec_mod._joint_alloc_pair_rows(smr, nl, c.cl.budget, cfg)
+    code_l = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+        a_, b_, cfg, c.cl))(ll, alloc)
+    code_s = jax.vmap(lambda a_, b_: codec_mod.quantize_given_alloc(
+        a_, b_, cfg, c.cg))(ls, alloc)
+    return BsFrameCode(state=st, long=code_l, short=code_s)
+
+
 @partial(jax.jit, static_argnums=(1,))
 def _encode_bs_packed_leading(x, cfg: CodecConfig):
     """x: [..., C, T] → (words [..., C, F, W32], nbits [..., C, F]); all
     leading axes flatten into one frame-row axis (_enc_chunk-bounded).
     Fields + pack run inside each chunk (codec._encode_rows_to_words's
-    whole-array-pass elimination; bytes identical)."""
+    whole-array-pass elimination; bytes identical).
+
+    M/S mode (SPEC.md §11 × §9): the butterfly runs first, transient
+    flags OR across the pair (one shared window state), rows interleave
+    frame-major so pairs are adjacent, and the allocation is joint."""
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
     h = cfg.n_mdct_lines
     xt = x.astype(c.cl.dtype)
+    if cfg.stereo_mode == "ms":
+        xt = codec_mod.ms_forward(xt)
     frames = fb.frame_signal(xt, h)                      # [..., C, F, N]
     lead = frames.shape[:-1]
     f = frames.shape[-2]
-    states = window_states(transient_flags(xt, cfg), f)
     cap = capacity_bits_bs(cfg, c)
+    # half the tuned chunk: the bs chunk runs BOTH window paths per row
+    # plus fields+pack, and the full-size program deterministically
+    # faults this box's TPU worker (the same >1.7k-row fault mode the
+    # autotuner exists for; 1024 measured clean here)
+    bs_chunk = max(512, codec_mod._enc_chunk() // 2)
+
+    if cfg.stereo_mode == "ms":
+        tfl = transient_flags(xt, cfg)                   # [..., 2, Kb]
+        t_pair = tfl[..., 0, :] | tfl[..., 1, :]
+        states = window_states(t_pair, f)                # [..., F]
+        fr = jnp.swapaxes(frames, -3, -2)                # [..., F, 2, N]
+        st = jnp.broadcast_to(states[..., None], fr.shape[:-1])
+
+        def chunk_words_ms(frc, stc):
+            bc = _encode_ms_bs_rows_chunk(frc, stc, cfg, c)
+            vals, wids = payload_fields_bs(bc, cfg, c)
+            return pack_rows(vals, wids, cap)
+
+        words, nbits = codec_mod._map_row_chunks(
+            chunk_words_ms, (fr.reshape(-1, fr.shape[-1]),
+                             st.reshape(-1)), int(np.prod(fr.shape[:-1])),
+            chunk=bs_chunk)
+        words = jnp.swapaxes(
+            words.reshape(*fr.shape[:-1], words.shape[-1]), -3, -2)
+        return words, jnp.swapaxes(nbits.reshape(fr.shape[:-1]), -2, -1)
+
+    states = window_states(transient_flags(xt, cfg), f)
     enc = jax.vmap(lambda fr, st: encode_frame_bs(fr, st, cfg, c))
 
     def chunk_words(fr, st):
@@ -602,14 +736,10 @@ def _encode_bs_packed_leading(x, cfg: CodecConfig):
         vals, wids = payload_fields_bs(bc, cfg, c)
         return pack_rows(vals, wids, cap)
 
-    # half the tuned chunk: the bs chunk runs BOTH window paths per row
-    # plus fields+pack, and the full-size program deterministically
-    # faults this box's TPU worker (the same >1.7k-row fault mode the
-    # autotuner exists for; 1024 measured clean here)
     words, nbits = codec_mod._map_row_chunks(
         chunk_words, (frames.reshape(-1, frames.shape[-1]),
                       states.reshape(-1)), int(np.prod(lead)),
-        chunk=max(512, codec_mod._enc_chunk() // 2))
+        chunk=bs_chunk)
     return (words.reshape(*lead, words.shape[-1]), nbits.reshape(lead))
 
 
@@ -836,7 +966,8 @@ def _decode_clip_bs_packed_impl(words, cfg: CodecConfig, t: int):
     lead = words.shape[:-1]                              # [C, F]
     bc = _unpack_bs_fields(words.reshape(-1, words.shape[-1]), cfg, c)
     y = jax.vmap(lambda b: decode_frame_bs(b, cfg, c))(bc)    # [K, N]
-    return fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    out = fb.overlap_add(y.reshape(*lead, 2 * h), h, t)
+    return codec_mod.ms_inverse(out) if cfg.stereo_mode == "ms" else out
 
 
 @partial(jax.jit, static_argnums=(1,))

@@ -268,18 +268,24 @@ def _encode_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
         lines, alloc)
 
 
-def _joint_alloc_pairs(smr, cfg: CodecConfig, c: CodecConsts):
-    """Joint M/S allocation (SPEC.md §11): smr f[M, B] with channel PAIRS
-    adjacent along the row axis (row 2i = mid, 2i+1 = side of frame i) →
-    alloc i32[M, B]. ONE water-fill over the pair's concatenated 2B bands
-    sharing budget 2·c.budget — the same greedy decision chain as the
-    per-channel path (tie-breaks order mid's bands before side's), so the
-    serial oracle replays it on the concatenated arrays exactly."""
-    m = smr.shape[0]
-    nb = c.n_lines.shape[0]
+def _joint_alloc_pair_rows(smr, n_lines, budget: int, cfg: CodecConfig):
+    """Joint M/S allocation over pair-adjacent rows (SPEC.md §11).
+
+    smr f[M, B] with channel PAIRS adjacent along the row axis (row 2i =
+    mid, 2i+1 = side of frame i), n_lines i32[B] shared or i32[M, B]
+    per-row (the blockswitch state-selected maps; a pair's two rows
+    always carry the SAME map — the window state is shared per pair) →
+    alloc i32[M, B]. ONE water-fill over the pair's concatenated 2B
+    bands sharing 2·budget — the same greedy decision chain as the
+    per-channel path (tie-breaks order mid's bands before side's), so
+    the serial oracle replays it on the concatenated arrays exactly."""
+    m, nb = smr.shape
     smr2 = smr.reshape(m // 2, 2 * nb)
-    nl2 = jnp.concatenate([c.n_lines, c.n_lines])
-    budget2 = 2 * c.budget
+    if n_lines.ndim == 2:
+        nl2 = n_lines.reshape(m // 2, 2 * nb)
+    else:
+        nl2 = jnp.concatenate([n_lines, n_lines])
+    budget2 = 2 * budget
     if _use_pallas_alloc(cfg):
         from tac.ops.pallas_alloc import water_fill_rows
 
@@ -291,10 +297,19 @@ def _joint_alloc_pairs(smr, cfg: CodecConfig, c: CodecConsts):
         alloc2 = water_fill_rows(smr_q, nl2, a0, r0,
                                  max_mant=cfg.max_mant_bits,
                                  nb=2 * nb, warm=ba._USE_WARM_START)
+    elif nl2.ndim == 2:
+        alloc2 = jax.vmap(lambda s_, n_: ba.allocate(
+            s_, n_, budget2, cfg.alloc_mode, cfg.max_mant_bits))(smr2, nl2)
     else:
         alloc2 = jax.vmap(lambda s_: ba.allocate(
             s_, nl2, budget2, cfg.alloc_mode, cfg.max_mant_bits))(smr2)
     return alloc2.reshape(m, nb)
+
+
+def _joint_alloc_pairs(smr, cfg: CodecConfig, c: CodecConsts):
+    """Flat-path joint M/S allocation: _joint_alloc_pair_rows at the
+    clip consts' shared band map and budget."""
+    return _joint_alloc_pair_rows(smr, c.n_lines, c.budget, cfg)
 
 
 def _encode_pair_rows_chunk(frames_chunk, cfg: CodecConfig, c: CodecConsts):
@@ -533,6 +548,43 @@ def _encode_frames_vbr_packed(prior, halves, res0, cfg: CodecConfig):
     vals, wids = payload_fields_vbr(codes, tids, cfg, c)
     words, nbits = pack_rows(vals, wids, payload_capacity_bits(cfg, c))
     return words, nbits, res_steps
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _encode_frames_ms_packed_halves(prior, halves, cfg: CodecConfig):
+    """Streaming M/S fixed-rate core (SPEC.md §11): (prior [2, H] L/R,
+    halves [2, m, H] L/R) → (words [2, m, W32], nbits [2, m]).
+
+    Frames form on device from the L/R halves, THEN the butterfly runs
+    (per-sample, so it commutes with framing — bit-identical to the
+    offline path's butterfly-then-frame order at the same dtype), and
+    the joint pair allocation rides _encode_rows_to_words(pair=True)
+    exactly as offline."""
+    c = make_consts(cfg)
+    frames = _frames_from_halves(prior, halves, c.dtype)   # [2, m, N] L/R
+    fr = ms_forward(jnp.swapaxes(frames, 0, 1))            # [m, 2, N] M/S
+    words, nbits = _encode_rows_to_words(
+        fr.reshape(-1, fr.shape[-1]), cfg, c, pair=True)
+    words = jnp.swapaxes(
+        words.reshape(*fr.shape[:-1], words.shape[-1]), 0, 1)
+    return words, jnp.swapaxes(nbits.reshape(fr.shape[:-1]), 0, 1)
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _encode_frames_ms_vbr_packed(prior, halves, res0, cfg: CodecConfig):
+    """Streaming M/S joint-reservoir VBR core (SPEC.md §11 × §8):
+    (prior [2, H] L/R, halves [2, m, H] L/R, res0 i32[1] carried joint
+    fill) → (words [2, m, W32], nbits [2, m], res_steps i32[m]).
+
+    Same joint chain as the offline _encode_vbr_ms_to_words, resumed
+    from the carried fill — stream bytes == offline bytes."""
+    c = make_consts(cfg)
+    frames = _frames_from_halves(prior, halves, c.dtype)   # [2, m, N] L/R
+    fr = ms_forward(jnp.swapaxes(frames, 0, 1))            # [m, 2, N] M/S
+    pf = jnp.swapaxes(fr, 0, 1)[None]                      # [1, 2, m, N]
+    words, nbits, res_steps = _encode_vbr_ms_to_words(
+        pf, cfg, c, jnp.asarray(res0, jnp.int32).reshape(1))
+    return words[0], nbits[0], res_steps[0]
 
 
 # ------------------------------------------------- device-packed decode -----
@@ -800,7 +852,13 @@ def _decode_frames_stream(words, tail, m, cfg: CodecConfig):
                             seconds[:, :-1]], axis=1)
     new_tail = jax.lax.dynamic_index_in_dim(seconds, m - 1, axis=1,
                                             keepdims=False)
-    return firsts + prev, new_tail
+    out = firsts + prev
+    if cfg.stereo_mode == "ms":
+        # finalized rows are complete M/S samples: the inverse butterfly
+        # is per-sample, so applying it here (tail stays M/S) equals the
+        # offline ms_inverse-after-overlap-add exactly (SPEC.md §11)
+        out = jnp.stack([out[0] + out[1], out[0] - out[1]])
+    return out, new_tail
 
 
 # ----------------------------------------------------------- VBR (huffman) --
@@ -1156,7 +1214,7 @@ def _encode_vbr_packed_leading(x, cfg: CodecConfig):
     lead, f = frames.shape[:-2], frames.shape[-2]     # [..., C], F
     if cfg.stereo_mode == "ms":
         pf = frames.reshape(-1, 2, f, frames.shape[-1])  # [P, 2, F, N]
-        words, nbits = _encode_vbr_ms_to_words(pf, cfg, c)
+        words, nbits, _ = _encode_vbr_ms_to_words(pf, cfg, c)
         return (words.reshape(*lead, f, words.shape[-1]),
                 nbits.reshape(*lead, f))
     words, nbits = _encode_vbr_lanes_to_words(
@@ -1165,17 +1223,20 @@ def _encode_vbr_packed_leading(x, cfg: CodecConfig):
             nbits.reshape(*lead, f))
 
 
-def _encode_vbr_ms_to_words(frames, cfg: CodecConfig, c: CodecConsts):
+def _encode_vbr_ms_to_words(frames, cfg: CodecConfig, c: CodecConsts,
+                            res0=None):
     """M/S joint-reservoir VBR encode (SPEC.md §11 × §8), packed.
 
     frames f[P, 2, F, N] (P stereo pairs, already M/S-transformed) →
-    (words u32[P, 2, F, W32], nbits i32[P, 2, F]). One reservoir LANE per
-    pair: the scan allocates over the pair's concatenated 2B bands with
-    base = 2·budget, cap = reservoir_factor · 2·budget, and the
-    raw-vs-huffman choice is made JOINTLY (one tableId per pair, written
-    into both channels' payloads — the pricing sum over 2B bands IS the
-    pair sum). Phase 1/3 and the per-channel payload layout are the flat
-    VBR path's, unchanged."""
+    (words u32[P, 2, F, W32], nbits i32[P, 2, F], res_steps i32[P, F]).
+    One reservoir LANE per pair: the scan allocates over the pair's
+    concatenated 2B bands with base = 2·budget,
+    cap = reservoir_factor · 2·budget, and the raw-vs-huffman choice is
+    made JOINTLY (one tableId per pair, written into both channels'
+    payloads — the pricing sum over 2B bands IS the pair sum). Phase 1/3
+    and the per-channel payload layout are the flat VBR path's,
+    unchanged. res0 i32[P] resumes carried joint reservoir fills (the
+    streaming core); None = fresh chains (offline clips/corpus)."""
     from tac.ops.bitpack import pack_rows
 
     p, _, f, n = frames.shape
@@ -1192,8 +1253,10 @@ def _encode_vbr_ms_to_words(frames, cfg: CodecConfig, c: CodecConsts):
     nl2 = jnp.concatenate([c.n_lines, c.n_lines])
     to_fl = lambda x_: x_.swapaxes(0, 1)               # [P, F, ...] → [F, P]
 
-    allocs, tids, _, _ = _reservoir_chain(
-        to_fl(smr2), to_fl(bh2), nl2, jnp.zeros((p,), jnp.int32),
+    if res0 is None:
+        res0 = jnp.zeros((p,), jnp.int32)
+    allocs, tids, _, res_steps = _reservoir_chain(
+        to_fl(smr2), to_fl(bh2), nl2, jnp.asarray(res0, jnp.int32),
         2 * c.budget, cfg.reservoir_factor * 2 * c.budget, cfg)
 
     # per-row allocations + the pair's joint tid broadcast to both rows
@@ -1210,7 +1273,8 @@ def _encode_vbr_ms_to_words(frames, cfg: CodecConfig, c: CodecConsts):
         chunk_words, (lines, al_rows, tid_rows), p * f * 2)
     # rows are [P, F, 2] → [P, 2, F]
     words = words.reshape(p, f, 2, words.shape[-1]).swapaxes(1, 2)
-    return words, nbits.reshape(p, f, 2).swapaxes(1, 2)
+    return (words, nbits.reshape(p, f, 2).swapaxes(1, 2),
+            res_steps.swapaxes(0, 1))
 
 
 def _encode_clip_vbr_packed_impl(x, cfg: CodecConfig):

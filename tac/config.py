@@ -79,11 +79,6 @@ class CodecConfig:
         if self.stereo_mode == "ms":
             if self.n_channels != 2:
                 raise ValueError("stereo_mode='ms' requires n_channels=2")
-            if self.use_block_switch:
-                raise ValueError(
-                    "stereo_mode='ms' with block switching is not "
-                    "supported yet (joint allocation needs a shared "
-                    "window state) — use stereo_mode='lr'")
 
     # ---- derived (all python ints: static under jit) ----
 
@@ -150,5 +145,16 @@ PRESETS = {
     "vbr-ms": CodecConfig(
         sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
         use_psy=True, use_huffman=True, stereo_mode="ms",
+    ),
+    # 9. Mid/side × block switching (shared per-pair window state).
+    "ms-bs": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, use_block_switch=True, stereo_mode="ms",
+    ),
+    # 10. The full combo: mid/side × Huffman VBR × block switching.
+    "vbr-ms-bs": CodecConfig(
+        sample_rate=44_100, n_channels=2, bitrate_bps=128_000,
+        use_psy=True, use_huffman=True, use_block_switch=True,
+        stereo_mode="ms",
     ),
 }

@@ -76,7 +76,51 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     n_blocks = -(-t // h)
     xp = np.concatenate([x, np.zeros((n_blocks * h - t, c))])
 
-    if cfg.use_block_switch:
+    if cfg.use_block_switch and cfg.stereo_mode == "ms":
+        # SPEC.md §11 × §9: x is already M/S; a transient in EITHER
+        # channel switches BOTH (shared per-pair window state), the
+        # allocation is joint over 2B state-selected bands, and the
+        # huffman combo runs ONE joint reservoir + tableId per pair.
+        from tac.oracle import blockswitch as obs
+        from tac.oracle.bitpack import PackedBits
+        f = n_blocks + 1
+        t_pair = obs.transient_flags(x[:, 0], cfg) \
+            | obs.transient_flags(x[:, 1], cfg)
+        states = obs.window_states(t_pair, f)
+        prior = [np.zeros(h), np.zeros(h)]
+        base2 = 2 * obs.frame_budget(cfg)
+        cap2 = cfg.reservoir_factor * base2
+        res = 0
+        for i in range(f):
+            newb = xp[i * h:(i + 1) * h] if i < n_blocks \
+                else np.zeros((h, c))
+            fulls = []
+            for ch in range(2):
+                fulls.append(np.concatenate([prior[ch], newb[:, ch]]))
+                prior[ch] = newb[:, ch].copy()
+            st = int(states[i])
+            if cfg.use_huffman:
+                tuples, bol = obs.encode_block_bs_ms(
+                    fulls[0], fulls[1], st, cfg, base2 + res)
+                raw = huf = 0
+                for _, alloc, _, mant in tuples:
+                    r_, h_ = obs._grouped_costs(alloc, mant, bol)
+                    raw += r_
+                    huf += h_
+                tid = 1 if huf < raw else 0
+                res = min(max(res + base2 - min(raw, huf), 0), cap2)
+            else:
+                tuples, bol = obs.encode_block_bs_ms(
+                    fulls[0], fulls[1], st, cfg, base2)
+                tid = None
+            for t4 in tuples:
+                pb = PackedBits()
+                pb.WriteBits(st, 2)
+                obs._write_grouped(pb, *t4, bol, cfg, table_id=tid)
+                payload = pb.GetPackedData()
+                pac.fp.write(len(payload).to_bytes(2, "little"))
+                pac.fp.write(payload)
+    elif cfg.use_block_switch:
         from tac.oracle import blockswitch as obs
         from tac.oracle.bitpack import PackedBits
         f = n_blocks + 1

@@ -71,14 +71,13 @@ def frame_budget(cfg: CodecConfig) -> int:
     return max(b, 0)
 
 
-def _encode_grouped(lines: np.ndarray, smr: np.ndarray, bol: np.ndarray,
-                    n_lines: np.ndarray, cfg: CodecConfig, budget: int):
-    """Serial decision chain on a (possibly non-contiguous-band) line
-    vector — mirror of tac.codec.quantize_lines."""
+def _quantize_grouped(lines: np.ndarray, alloc: np.ndarray,
+                      bol: np.ndarray, n_lines: np.ndarray,
+                      cfg: CodecConfig):
+    """Quantize a (possibly non-contiguous-band) line vector at a given
+    allocation — the serialization half of _encode_grouped."""
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     ovs = qz.ScaleFactor(np.max(np.abs(lines)), s, a)
-    alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
-                        smr)
     scaled = lines * 2.0 ** ovs
     scale = np.zeros(bands.N_BANDS, np.int64)
     mant = np.zeros(len(lines), np.int64)
@@ -91,6 +90,15 @@ def _encode_grouped(lines: np.ndarray, smr: np.ndarray, bol: np.ndarray,
         for i in idx:
             mant[i] = qz.Mantissa(scaled[i], int(scale[b]), s, int(alloc[b]))
     return ovs, alloc, scale, mant
+
+
+def _encode_grouped(lines: np.ndarray, smr: np.ndarray, bol: np.ndarray,
+                    n_lines: np.ndarray, cfg: CodecConfig, budget: int):
+    """Serial decision chain on a (possibly non-contiguous-band) line
+    vector — mirror of tac.codec.quantize_lines."""
+    alloc = ba.BitAlloc(budget, cfg.max_mant_bits, bands.N_BANDS, n_lines,
+                        smr)
+    return _quantize_grouped(lines, alloc, bol, n_lines, cfg)
 
 
 def _psy_smr(full: np.ndarray, lines: np.ndarray, gain: float, fs: int,
@@ -193,10 +201,9 @@ def _tables(cfg: CodecConfig):
     return bol_l, nl_l, bol_g, nl_g
 
 
-def _encode_block_bs_fields(full: np.ndarray, state: int, cfg: CodecConfig,
-                            budget: int):
-    """One [N] block at the given window state → ((ovs, alloc, scale,
-    mant), bol) — the state-selected decision chain, serialization apart."""
+def _analyze_block_bs(full: np.ndarray, state: int, cfg: CodecConfig):
+    """One [N] block at the given window state → (lines, snapped smr,
+    bol, n_lines) — the state-selected analysis half (budget-free)."""
     h, hs = cfg.n_mdct_lines, cfg.n_mdct_lines_short
     fs = cfg.sample_rate
     k, h3 = h // hs, (h - hs) // 2
@@ -212,7 +219,7 @@ def _encode_block_bs_fields(full: np.ndarray, state: int, cfg: CodecConfig,
                                        fs, bol_l))
         else:
             smr = np.zeros(bands.N_BANDS)
-        return _encode_grouped(lines, smr, bol_l, nl_l, cfg, budget), bol_l
+        return lines, smr, bol_l, nl_l
     ws = sine_window(2 * hs)
     gain = 8.0 / np.mean(ws ** 2)
     lines = np.zeros(h)
@@ -226,7 +233,36 @@ def _encode_block_bs_fields(full: np.ndarray, state: int, cfg: CodecConfig,
                           bands.band_of_line(fs, hs))
             smr = np.maximum(smr, sj)
     smr = ba.snap_smr(smr) if cfg.use_psy else np.zeros(bands.N_BANDS)
-    return _encode_grouped(lines, smr, bol_g, nl_g, cfg, budget), bol_g
+    return lines, smr, bol_g, nl_g
+
+
+def _encode_block_bs_fields(full: np.ndarray, state: int, cfg: CodecConfig,
+                            budget: int):
+    """One [N] block at the given window state → ((ovs, alloc, scale,
+    mant), bol) — the state-selected decision chain, serialization apart."""
+    lines, smr, bol, nl = _analyze_block_bs(full, state, cfg)
+    return _encode_grouped(lines, smr, bol, nl, cfg, budget), bol
+
+
+def encode_block_bs_ms(full_m: np.ndarray, full_s: np.ndarray, state: int,
+                       cfg: CodecConfig, budget: int):
+    """Joint M/S block encode at a SHARED window state (SPEC.md §11 × §9).
+
+    ONE BitAlloc over the pair's concatenated 2B state-selected bands
+    (mid's bands first — the tac joint water-fill's tie-break order)
+    sharing `budget` (the caller passes 2× the per-channel budget, plus
+    the joint reservoir in the huffman combo). Returns
+    ([(ovs, alloc, scale, mant), ...] per channel, bol) — mirrors
+    tac.blockswitch._encode_ms_bs_rows_chunk decision-for-decision."""
+    lm, sm, bol, nl = _analyze_block_bs(full_m, state, cfg)
+    ls_, ss, _, _ = _analyze_block_bs(full_s, state, cfg)
+    smr2 = np.concatenate([sm, ss])
+    nl2 = np.concatenate([nl, nl])
+    alloc2 = ba.BitAlloc(budget, cfg.max_mant_bits, 2 * bands.N_BANDS,
+                         nl2, smr2)
+    return ([_quantize_grouped(lm, alloc2[:bands.N_BANDS], bol, nl, cfg),
+             _quantize_grouped(ls_, alloc2[bands.N_BANDS:], bol, nl, cfg)],
+            bol)
 
 
 def encode_block_bs(full: np.ndarray, state: int, cfg: CodecConfig,

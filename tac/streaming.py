@@ -99,16 +99,20 @@ class StreamEncoder:
     """
 
     def __init__(self, cfg: CodecConfig, n_channels: Optional[int] = None):
-        if cfg.stereo_mode == "ms":
+        if cfg.stereo_mode == "ms" and cfg.use_block_switch:
             raise NotImplementedError(
-                "streaming with stereo_mode='ms' is not supported yet — "
-                "use the offline encoder (tac.api) or stereo_mode='lr'")
+                "streaming ms x blockswitch is not supported yet — use "
+                "the offline encoder (tac.api) for ms-bs streams")
         c = n_channels or cfg.n_channels
         self.cfg = cfg.replace(n_channels=c)
         h = cfg.n_mdct_lines
+        # ms mode: ONE joint reservoir per pair (SPEC.md §11), kept as a
+        # length-1 array; buffers stay in the L/R domain — the butterfly
+        # runs on device inside the ms cores (commutes with framing)
+        n_res = 1 if cfg.stereo_mode == "ms" else c
         self.state = StreamState(
             prior=np.zeros((c, h)), look=np.zeros((c, h)),
-            pending=np.zeros((c, 0)), reservoir=np.zeros(c, np.int64),
+            pending=np.zeros((c, 0)), reservoir=np.zeros(n_res, np.int64),
             t_hist=np.zeros((c, 2), bool))
 
     def header(self, num_samples: int = 0) -> bytes:
@@ -128,7 +132,8 @@ class StreamEncoder:
             n_lines_short=(bands.lines_per_band(
                 cfg.sample_rate, cfg.n_mdct_lines_short)
                 if cfg.use_block_switch else None),
-            huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch))
+            huffman=cfg.use_huffman, blockswitch=cfg.use_block_switch,
+            ms=cfg.stereo_mode == "ms"))
 
     def push(self, x: np.ndarray) -> bytes:
         """x: float[T'] or [T', C] new samples → emitted payload bytes."""
@@ -192,7 +197,16 @@ class StreamEncoder:
         prior = jnp.asarray(st.prior.astype(dt))
         st.prior = halves[:, -1].copy()
         st.blocks_out += m
-        if cfg.use_huffman:
+        if cfg.stereo_mode == "ms":
+            if cfg.use_huffman:
+                res0 = jnp.asarray(st.reservoir, jnp.int32)
+                words, nbits, res_steps = codec._encode_frames_ms_vbr_packed(
+                    prior, hp, res0, cfg)
+                st.reservoir = np.asarray(res_steps)[m - 1:m].astype(np.int64)
+            else:
+                words, nbits = codec._encode_frames_ms_packed_halves(
+                    prior, hp, cfg)
+        elif cfg.use_huffman:
             res0 = jnp.asarray(st.reservoir, jnp.int32)
             words, nbits, res_steps = codec._encode_frames_vbr_packed(
                 prior, hp, res0, cfg)
@@ -254,10 +268,6 @@ class StreamDecoder:
     """
 
     def __init__(self, cfg: CodecConfig, num_samples: int = 0):
-        if cfg.stereo_mode == "ms":
-            raise NotImplementedError(
-                "streaming decode of mid/side streams is not supported "
-                "yet — use tac.api.decode_array")
         self.cfg = cfg
         self.num_samples = int(num_samples)   # 0 = unknown (emit everything)
         self.buf = b""

@@ -104,13 +104,14 @@ def test_ms_flag_on_mono_rejected():
 def test_ms_config_validation():
     with pytest.raises(ValueError, match="n_channels"):
         CodecConfig(stereo_mode="ms", n_channels=1)
-    with pytest.raises(ValueError, match="block switching"):
-        CodecConfig(stereo_mode="ms", n_channels=2, use_block_switch=True)
+    # ms x blockswitch is supported (SPEC.md §11 x §9) — must NOT raise
+    CodecConfig(stereo_mode="ms", n_channels=2, use_block_switch=True)
     with pytest.raises(ValueError, match="2-channel"):
         api.encode_array(np.zeros((4096, 1)), PRESETS["stereo44-128-ms"])
 
 
-@pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms"])
+@pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms", "ms-bs",
+                                    "vbr-ms-bs"])
 def test_ms_corpus_batched_equals_solo(tmp_path, preset):
     """Corpus encode routes ms configs through the joint packed encoders
     (batched bytes == solo bytes), and corpus decode reconstructs L/R."""
@@ -119,7 +120,7 @@ def test_ms_corpus_batched_equals_solo(tmp_path, preset):
 
     fs = 16000
     cfg = PRESETS[preset].replace(sample_rate=fs, n_mdct_lines=256,
-                                  bitrate_bps=64000)
+                                  bitrate_bps=64000, n_mdct_lines_short=64)
     rng = np.random.default_rng(7)
     paths = []
     for i, t_len in enumerate((4000, 9000)):
@@ -150,6 +151,127 @@ def test_ms_corpus_batched_equals_solo(tmp_path, preset):
         name = p.rsplit("/", 1)[1]
         y, _ = read_wav(str(dec / name))
         assert _snr(x.ravel(), y.ravel()) > 10.0, p
+
+
+@pytest.fixture(scope="module")
+def transient_stereo44():
+    """Correlated stereo with a sharp common transient — the ms x
+    blockswitch material (SPEC.md §11 x §9)."""
+    fs = 44100
+    t = np.arange(fs // 4) / fs
+    rng = np.random.default_rng(11)
+    common = 0.3 * np.sin(2 * np.pi * 440 * t)
+    common[len(t) // 2:len(t) // 2 + 500] += 0.5 * np.exp(
+        -np.arange(500) / 80.0) * np.sin(
+            2 * np.pi * 2800 * np.arange(500) / fs)
+    side = (0.04 * np.sin(2 * np.pi * 550 * t)
+            + 0.005 * rng.standard_normal(len(t)))
+    return np.stack([common + side, common - side], axis=1), fs
+
+
+@pytest.mark.parametrize("preset", ["ms-bs", "vbr-ms-bs"])
+def test_ms_bs_byte_identical(preset, transient_stereo44):
+    """M/S x blockswitch (x huffman): joint allocation over the pair's
+    state-selected bands at a SHARED window state — byte parity vs the
+    serial oracle's joint chain."""
+    x, _ = transient_stereo44
+    cfg = PRESETS[preset].replace(precision="parity", n_mdct_lines=256,
+                                  n_mdct_lines_short=64)
+    assert o_enc(x, cfg) == api.encode_array(x, cfg)
+
+
+@pytest.mark.parametrize("preset", ["ms-bs", "vbr-ms-bs"])
+def test_ms_bs_cross_decode(preset, transient_stereo44):
+    x, _ = transient_stereo44
+    cfg = PRESETS[preset].replace(precision="parity", n_mdct_lines=256,
+                                  n_mdct_lines_short=64)
+    data = api.encode_array(x, cfg)
+    hdr, _ = bs.read_header(data)
+    assert hdr.ms and hdr.blockswitch
+    y_t = api.decode_array(data)[0]
+    y_o = o_dec(data)[0]
+    assert _snr(x.ravel(), np.asarray(y_t, np.float64).ravel()) > 10.0
+    assert np.max(np.abs(np.asarray(y_t, np.float64)
+                         - y_o[: len(y_t)])) < 1e-6
+
+
+def test_ms_bs_shared_window_state(transient_stereo44):
+    """Both channels of a pair carry the SAME 2-bit window state (the
+    joint allocation's precondition), and the stream does switch."""
+    from tac import bitstream as tbs
+
+    x, _ = transient_stereo44
+    cfg = PRESETS["ms-bs"].replace(precision="parity", n_mdct_lines=256,
+                                   n_mdct_lines_short=64)
+    data = api.encode_array(x, cfg)
+    hdr, off = tbs.read_header(data)
+    from tac.dsp.mdct import num_frames
+    f = num_frames(hdr.num_samples, hdr.n_mdct_lines)
+    offs, lens = tbs.split_blocks(data, off, 2 * f)
+    states = [data[o] >> 6 for o in offs]   # first 2 bits, MSB-first pack
+    pairs = list(zip(states[0::2], states[1::2]))
+    assert all(a == b for a, b in pairs)
+    assert any(a == 2 for a, _ in pairs)          # SHORT occurs
+
+
+@pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms"])
+def test_ms_stream_equals_offline(preset, correlated44):
+    """Chunked ms streaming == offline bytes (parity, random chunking):
+    the butterfly commutes with framing and the joint reservoir rides
+    StreamState (SPEC.md §11 streaming contract)."""
+    from tac.streaming import StreamEncoder
+
+    x, fs = correlated44
+    cfg = PRESETS[preset].replace(precision="parity", sample_rate=fs)
+    enc = StreamEncoder(cfg)
+    out = [enc.header(len(x))]
+    rng = np.random.default_rng(2)
+    i = 0
+    while i < len(x):
+        n = int(rng.integers(1, 2000))
+        out.append(enc.push(x[i:i + n]))
+        i += n
+    out.append(enc.flush())
+    assert b"".join(out) == o_enc(x, cfg)
+
+
+def test_ms_stream_checkpoint_resume(correlated44):
+    """Mid-stream StreamState round trip carries the JOINT reservoir."""
+    from tac.streaming import StreamEncoder, StreamState
+
+    x, fs = correlated44
+    cfg = PRESETS["vbr-ms"].replace(precision="parity", sample_rate=fs)
+    cut = len(x) // 2 + 123
+    enc = StreamEncoder(cfg)
+    part1 = enc.header(len(x)) + enc.push(x[:cut])
+    assert enc.state.reservoir.shape == (1,)        # one joint fill
+    blob = enc.state.to_bytes()
+    enc2 = StreamEncoder(cfg)
+    enc2.state = StreamState.from_bytes(blob)
+    part2 = enc2.push(x[cut:]) + enc2.flush()
+    assert part1 + part2 == api.encode_array(x, cfg)
+
+
+@pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms"])
+def test_ms_stream_decode_equals_offline(preset, correlated44):
+    """StreamDecoder on ms streams: carried overlap tail stays M/S, the
+    finalized rows get the inverse butterfly — matches decode_array."""
+    from tac.streaming import StreamDecoder
+
+    x, fs = correlated44
+    cfg = PRESETS[preset].replace(sample_rate=fs, precision="fast")
+    data = api.encode_array(x, cfg)
+    y_off, _ = api.decode_array(data, precision="fast")
+    dec, off = StreamDecoder.from_header(data)
+    rng = np.random.default_rng(3)
+    outs, pos = [], off
+    while pos < len(data):
+        step = int(rng.integers(1, 1500))
+        outs.append(dec.push(data[pos:pos + step]))
+        pos += step
+    y_st = np.concatenate(outs, 0)
+    assert y_st.shape == y_off.shape
+    np.testing.assert_allclose(y_st, y_off, atol=2e-5)
 
 
 def test_ms_fast_deterministic(correlated44):

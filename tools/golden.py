@@ -52,6 +52,11 @@ def clips() -> dict[str, tuple[np.ndarray, int]]:
     x[len(t) // 3:len(t) // 3 + 800] += 0.6 * np.exp(
         -np.arange(800) / 100.0) * np.sin(2 * np.pi * 3000 * np.arange(800) / fs)
     out["transient44"] = (x[:, None], fs)
+
+    # correlated stereo with a common transient (ms x blockswitch)
+    side = (0.05 * np.sin(2 * np.pi * 550 * t)
+            + 0.01 * rng.standard_normal(len(t)))
+    out["transient44_stereo"] = (np.stack([x + side, x - side], 1), fs)
     return out
 
 
@@ -79,6 +84,15 @@ def cases():
     yield ("config8_ms_vbr",
            PRESETS["vbr-ms"].replace(precision="parity"),
            material["stereo44"])
+    yield ("config9_ms_blockswitch",
+           PRESETS["ms-bs"].replace(precision="parity", n_mdct_lines=256,
+                                    n_mdct_lines_short=64),
+           material["transient44_stereo"])
+    yield ("config10_ms_vbr_blockswitch",
+           PRESETS["vbr-ms-bs"].replace(precision="parity",
+                                        n_mdct_lines=256,
+                                        n_mdct_lines_short=64),
+           material["transient44_stereo"])
 
 
 def digests() -> dict[str, dict]:
