@@ -838,6 +838,68 @@ def _encode_frames_bs_vbr_packed(prior, look, new_halves, t_hist, res0,
     return words, nbits, t, res_steps
 
 
+def _ms_stream_prep(prior, look, new_halves, t_hist, c: BsConsts,
+                    cfg: CodecConfig):
+    """Shared front half of the M/S streaming cores: L/R half-block
+    buffers → (M/S frames [2, m, N], shared states [m], t bool[1, m+3]).
+
+    The butterfly is per-sample, so running it on the formed halves is
+    bit-identical to offline's butterfly-then-frame at the same dtype
+    (SPEC.md §11 streaming contract); transient flags are computed per
+    M/S channel and OR-ed across the pair — ONE window state per frame,
+    the joint allocation's precondition (SPEC.md §11 × §9)."""
+    dt = c.cl.dtype
+    m = new_halves.shape[1]
+    halves = jnp.concatenate(
+        [prior.astype(dt)[:, None], look.astype(dt)[:, None],
+         new_halves.astype(dt)], axis=1)                 # [2, m+2] L/R
+    halves = codec_mod.ms_forward(halves.swapaxes(0, 1)).swapaxes(0, 1)
+    frames = jnp.concatenate([halves[:, :m], halves[:, 1:m + 1]], axis=-1)
+    flags = transient_flags(halves[:, 1:].reshape(2, -1), cfg)  # [2, m+1]
+    t = jnp.concatenate([t_hist, (flags[0] | flags[1])[None]], axis=1)
+    return frames, _stream_states(t, m)[0], t
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _encode_frames_bs_ms_packed(prior, look, new_halves, t_hist,
+                                cfg: CodecConfig):
+    """Streaming M/S × blockswitch core (SPEC.md §11 × §9): the same
+    halves contract as _encode_frames_bs_packed, but prior/look [2, H]
+    and new_halves [2, m, H] arrive in the L/R domain and t_hist
+    bool[1, 2] carries the SHARED pair flags (t_{e-2}, t_{e-1}). The
+    joint pair water-fill over the 2B state-selected bands is the
+    offline _encode_ms_bs_rows_chunk — stream bytes == offline bytes.
+    Returns (words [2, m, W32], nbits [2, m], t bool[1, m+3])."""
+    from tac.ops.bitpack import pack_rows
+
+    c = make_bs_consts(cfg)
+    m = new_halves.shape[1]
+    frames, states, t = _ms_stream_prep(prior, look, new_halves, t_hist,
+                                        c, cfg)
+    rows = frames.swapaxes(0, 1).reshape(2 * m, -1)      # pair-adjacent
+    bc = _encode_ms_bs_rows_chunk(rows, jnp.repeat(states, 2), cfg, c)
+    vals, wids = payload_fields_bs(bc, cfg, c)
+    words, nbits = pack_rows(vals, wids, capacity_bits_bs(cfg, c))
+    return (words.reshape(m, 2, -1).swapaxes(0, 1),
+            nbits.reshape(m, 2).swapaxes(0, 1), t)
+
+
+@partial(jax.jit, static_argnums=(5,))
+def _encode_frames_bs_vbr_ms_packed(prior, look, new_halves, t_hist, res0,
+                                    cfg: CodecConfig):
+    """Streaming M/S × blockswitch × huffman core (SPEC.md §11 × §9 × §8):
+    _encode_frames_bs_ms_packed plus the carried JOINT reservoir fill
+    res0 i32[1] (one lane per pair, resumed — stream bytes == offline
+    bytes). Returns (words [2, m, W32], nbits [2, m], t bool[1, m+3],
+    res_steps i32[m])."""
+    c = make_bs_consts(cfg)
+    frames, states, t = _ms_stream_prep(prior, look, new_halves, t_hist,
+                                        c, cfg)
+    words, nbits, res_steps = _encode_bs_vbr_ms_to_words(
+        frames[None], states[None], jnp.asarray(res0, jnp.int32), cfg, c)
+    return words[0], nbits[0], t, res_steps[0]
+
+
 def payload_to_frames_bs(data: bytes, offset: int, n_blocks: int,
                          cfg: CodecConfig) -> BsFrameCode:
     """Host-side deserializer. The field layout is state-independent except

@@ -99,21 +99,18 @@ class StreamEncoder:
     """
 
     def __init__(self, cfg: CodecConfig, n_channels: Optional[int] = None):
-        if cfg.stereo_mode == "ms" and cfg.use_block_switch:
-            raise NotImplementedError(
-                "streaming ms x blockswitch is not supported yet — use "
-                "the offline encoder (tac.api) for ms-bs streams")
         c = n_channels or cfg.n_channels
         self.cfg = cfg.replace(n_channels=c)
         h = cfg.n_mdct_lines
-        # ms mode: ONE joint reservoir per pair (SPEC.md §11), kept as a
-        # length-1 array; buffers stay in the L/R domain — the butterfly
-        # runs on device inside the ms cores (commutes with framing)
-        n_res = 1 if cfg.stereo_mode == "ms" else c
+        # ms mode: ONE joint reservoir + ONE shared transient history per
+        # pair (SPEC.md §11), kept as length-1 leading axes; buffers stay
+        # in the L/R domain — the butterfly runs on device inside the ms
+        # cores (commutes with framing)
+        n_ms = 1 if cfg.stereo_mode == "ms" else c
         self.state = StreamState(
             prior=np.zeros((c, h)), look=np.zeros((c, h)),
-            pending=np.zeros((c, 0)), reservoir=np.zeros(n_res, np.int64),
-            t_hist=np.zeros((c, 2), bool))
+            pending=np.zeros((c, 0)), reservoir=np.zeros(n_ms, np.int64),
+            t_hist=np.zeros((n_ms, 2), bool))
 
     def header(self, num_samples: int = 0) -> bytes:
         from tac import bitstream as bs
@@ -237,7 +234,18 @@ class StreamEncoder:
                          .astype(dt))
         prior = jnp.asarray(st.prior.astype(dt))
         look = jnp.asarray(st.look.astype(dt))
-        if cfg.use_huffman:                # combo: reservoir rides the state
+        if cfg.stereo_mode == "ms":        # joint pair cores (SPEC.md §11×§9)
+            if cfg.use_huffman:
+                words, nbits, t, res_steps = \
+                    bsw._encode_frames_bs_vbr_ms_packed(
+                        prior, look, hp, jnp.asarray(st.t_hist),
+                        jnp.asarray(st.reservoir, jnp.int32), cfg)
+                st.reservoir = np.asarray(res_steps)[m - 1:m] \
+                    .astype(np.int64)
+            else:
+                words, nbits, t = bsw._encode_frames_bs_ms_packed(
+                    prior, look, hp, jnp.asarray(st.t_hist), cfg)
+        elif cfg.use_huffman:              # combo: reservoir rides the state
             words, nbits, t, res_steps = bsw._encode_frames_bs_vbr_packed(
                 prior, look, hp, jnp.asarray(st.t_hist),
                 jnp.asarray(st.reservoir, jnp.int32), cfg)

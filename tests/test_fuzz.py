@@ -33,6 +33,20 @@ FAMILIES = {
                                           use_huffman=True,
                                           n_mdct_lines_short=128,
                                           precision="fast"),
+    # mid/side joint stereo (SPEC.md §11): the butterfly + joint 2B-band
+    # allocation add their own decode surfaces (ms_inverse after unpack,
+    # shared pair window state in the combo) — fuzz them too.
+    "ms": PRESETS["mono16-64"].replace(n_channels=2, stereo_mode="ms",
+                                       precision="fast", use_psy=True,
+                                       alloc_mode="greedy"),
+    "ms-combo": PRESETS["mono16-64"].replace(n_channels=2,
+                                             stereo_mode="ms",
+                                             use_block_switch=True,
+                                             use_huffman=True,
+                                             n_mdct_lines_short=128,
+                                             precision="fast",
+                                             use_psy=True,
+                                             alloc_mode="greedy"),
 }
 
 
@@ -43,8 +57,9 @@ def streams():
     t = np.arange(int(fs * 0.35)) / fs
     sig = 0.5 * np.sin(2 * np.pi * 440 * t) + 0.2 * np.sin(2 * np.pi * 990 * t)
     sig[2000:2100] += np.linspace(0, 0.4, 100)           # transient
+    stereo = np.stack([sig, np.roll(sig, 37) * 0.8], axis=1)
     for name, cfg in FAMILIES.items():
-        data = api.encode_array(sig, cfg)
+        data = api.encode_array(stereo if cfg.n_channels == 2 else sig, cfg)
         _, off = bs.read_header(data)
         out[name] = (bytes(data), off)
     return out

@@ -252,6 +252,72 @@ def test_ms_stream_checkpoint_resume(correlated44):
     assert part1 + part2 == api.encode_array(x, cfg)
 
 
+@pytest.mark.parametrize("preset", ["ms-bs", "vbr-ms-bs"])
+def test_ms_bs_stream_equals_offline(preset, transient_stereo44):
+    """Chunked ms x blockswitch streaming == offline bytes (parity,
+    random chunking): shared pair window state out of the carried flag
+    history, joint alloc, joint reservoir in the combo (SPEC.md §11x§9
+    streaming contract)."""
+    from tac.streaming import StreamEncoder
+
+    x, _ = transient_stereo44
+    cfg = PRESETS[preset].replace(precision="parity", n_mdct_lines=256,
+                                  n_mdct_lines_short=64)
+    enc = StreamEncoder(cfg)
+    out = [enc.header(len(x))]
+    rng = np.random.default_rng(4)
+    i = 0
+    while i < len(x):
+        n = int(rng.integers(1, 1500))
+        out.append(enc.push(x[i:i + n]))
+        i += n
+    out.append(enc.flush())
+    assert b"".join(out) == o_enc(x, cfg)
+
+
+def test_ms_bs_stream_checkpoint_resume(transient_stereo44):
+    """Mid-stream resume of the full combo carries the joint reservoir
+    AND the shared pair transient history."""
+    from tac.streaming import StreamEncoder, StreamState
+
+    x, _ = transient_stereo44
+    cfg = PRESETS["vbr-ms-bs"].replace(precision="parity",
+                                       n_mdct_lines=256,
+                                       n_mdct_lines_short=64)
+    cut = len(x) // 2 + 77
+    enc = StreamEncoder(cfg)
+    part1 = enc.header(len(x)) + enc.push(x[:cut])
+    assert enc.state.reservoir.shape == (1,)
+    assert enc.state.t_hist.shape == (1, 2)
+    blob = enc.state.to_bytes()
+    enc2 = StreamEncoder(cfg)
+    enc2.state = StreamState.from_bytes(blob)
+    part2 = enc2.push(x[cut:]) + enc2.flush()
+    assert part1 + part2 == api.encode_array(x, cfg)
+
+
+@pytest.mark.parametrize("preset", ["ms-bs", "vbr-ms-bs"])
+def test_ms_bs_stream_decode_equals_offline(preset, transient_stereo44):
+    """StreamDecoder on ms x blockswitch streams matches decode_array."""
+    from tac.streaming import StreamDecoder
+
+    x, _ = transient_stereo44
+    cfg = PRESETS[preset].replace(precision="fast", n_mdct_lines=256,
+                                  n_mdct_lines_short=64)
+    data = api.encode_array(x, cfg)
+    y_off, _ = api.decode_array(data, precision="fast")
+    dec, off = StreamDecoder.from_header(data)
+    rng = np.random.default_rng(6)
+    outs, pos = [], off
+    while pos < len(data):
+        step = int(rng.integers(1, 1200))
+        outs.append(dec.push(data[pos:pos + step]))
+        pos += step
+    y_st = np.concatenate(outs, 0)
+    assert y_st.shape == y_off.shape
+    np.testing.assert_allclose(y_st, y_off, atol=2e-5)
+
+
 @pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms"])
 def test_ms_stream_decode_equals_offline(preset, correlated44):
     """StreamDecoder on ms streams: carried overlap tail stays M/S, the
