@@ -320,6 +320,69 @@ def decode_array(data: bytes, precision: str = "parity"
     return np.asarray(x).T.astype(np.float32), hdr.sample_rate
 
 
+def decode_range(data: bytes, start: int, stop: int,
+                 precision: str = "fast") -> tuple[np.ndarray, int]:
+    """Sample-accurate random-access decode: PAC-T bytes →
+    (float32[stop-start, C], sample_rate) for output samples [start, stop).
+
+    The reference's ReadDataBlock loop is strictly sequential file-at-a-
+    time (SURVEY.md §3.2); here any output sample s depends on exactly
+    two adjacent frames (s//H and s//H+1 — the 50 % MDCT overlap), and
+    every per-frame decision (window state, tableId, scale factors) rides
+    in that frame's payload, so decoding just the covering frame subset
+    [start//H, (stop-1)//H + 2) reproduces the full decode's samples
+    exactly in parity precision (fast precision: within f32 batch-shape
+    ULP, the same contract as StreamDecoder). The container's chained u16
+    length prefixes still force a host framing walk over the prefixes
+    (native C, ~ns per block) — but only the covered frames' payload
+    bytes are uploaded and decoded on device.
+
+    Indices clamp to [0, num_samples]; works for every stream family
+    (raw / VBR / blockswitch / combo, lr and ms). Each distinct covered
+    frame COUNT compiles its own device program — for repeated fixed-size
+    windows (the common seek/preview case) the jit cache makes subsequent
+    calls cheap.
+    """
+    hdr, off = bs.read_header(data)
+    cfg = header_config(hdr, precision)
+    h = hdr.n_mdct_lines
+    from tac.dsp.mdct import num_frames
+    f = num_frames(hdr.num_samples, h)
+    c = cfg.n_channels
+    start = max(0, min(int(start), hdr.num_samples))
+    stop = max(start, min(int(stop), hdr.num_samples))
+    if stop == start:
+        return np.zeros((0, c), np.float32), hdr.sample_rate
+    fa, fb = start // h, min(f, (stop - 1) // h + 2)
+    k = fb - fa
+    offs, lens = bs.split_blocks(data, off, f * c)
+    offs = np.asarray(offs)[fa * c: fb * c]
+    lens = np.asarray(lens)[fa * c: fb * c]
+    from tac.ops import bitpack as dbp
+    t_local = (k - 1) * h
+    if hdr.blockswitch:
+        from tac import blockswitch as bsw
+        cap = (bsw.capacity_bits_bs_vbr(cfg) if hdr.huffman
+               else bsw.capacity_bits_bs(cfg))
+        w32 = -(-cap // 32)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)
+        words = jnp.asarray(np.ascontiguousarray(
+            rows.reshape(k, c, w32).swapaxes(0, 1)))
+        dec = (bsw.decode_clip_bs_vbr_packed if hdr.huffman
+               else bsw.decode_clip_bs_packed)
+        x = dec(words, cfg, t_local)
+    else:
+        w32 = -(-codec.payload_capacity_bits(cfg) // 32)
+        rows = dbp.stream_to_rows(data, offs, lens, w32)
+        words = jnp.asarray(np.ascontiguousarray(
+            rows.reshape(k, c, w32).swapaxes(0, 1)))
+        dec = (codec.decode_clip_vbr_packed if hdr.huffman
+               else codec.decode_clip_packed)
+        x = dec(words, cfg, t_local)
+    out = np.asarray(x).T.astype(np.float32)
+    return out[start - fa * h: stop - fa * h], hdr.sample_rate
+
+
 def encode(wav_path: str, pac_path: str, cfg: CodecConfig) -> dict:
     """WAV file → PAC-T file. Returns a stats record (SURVEY.md §5.5)."""
     x, fs = read_wav(wav_path)

@@ -77,6 +77,11 @@ def main(argv=None) -> int:
     pd.add_argument("--precision", choices=["parity", "fast"],
                     default="fast",
                     help="parity = f64 FFT path (needs JAX_ENABLE_X64)")
+    pd.add_argument("--start", type=float, default=None, metavar="SEC",
+                    help="random-access: first output second "
+                         "(api.decode_range — only covering frames decode)")
+    pd.add_argument("--duration", type=float, default=None, metavar="SEC",
+                    help="random-access: seconds to decode from --start")
 
     pi = sub.add_parser("info", help="print PAC-T header as JSON")
     pi.add_argument("input")
@@ -122,7 +127,21 @@ def main(argv=None) -> int:
     if args.cmd == "decode":
         from tac import api
         t0 = time.time()
-        stats = api.decode(args.input, args.output, args.precision)
+        if args.start is not None or args.duration is not None:
+            from tac import bitstream as bs
+            from tac.io.wav import write_wav
+            with open(args.input, "rb") as f:
+                data = f.read()
+            hdr, _ = bs.read_header(data)
+            s0 = int(round((args.start or 0.0) * hdr.sample_rate))
+            s1 = (s0 + int(round(args.duration * hdr.sample_rate))
+                  if args.duration is not None else hdr.num_samples)
+            x, fs = api.decode_range(data, s0, s1, args.precision)
+            write_wav(args.output, x, fs)
+            stats = {"seconds": x.shape[0] / fs, "sample_rate": fs,
+                     "channels": x.shape[1], "start_sample": s0}
+        else:
+            stats = api.decode(args.input, args.output, args.precision)
         stats["decode_s"] = round(time.time() - t0, 3)
         print(json.dumps(stats))
         return 0
