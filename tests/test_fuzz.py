@@ -176,3 +176,24 @@ def test_fuzz_stream_decoder(streams, rng):
                 pos += n
         except ALLOWED:
             pass
+
+
+@pytest.mark.parametrize("family", ["combo", "ms-combo"])
+def test_fuzz_decode_range(streams, family, rng):
+    """Random-access decode on corrupt streams and random ranges: typed
+    error or the exact requested shape, finite values, never a crash."""
+    data, off = streams[family]
+    hdr, _ = bs.read_header(data)
+    for i, mutant in enumerate(_mutations(data, off, rng)):
+        if i % 5:                        # new jit shape per range; sample
+            continue
+        s0, s1 = sorted(int(v) for v in
+                        rng.integers(-100, hdr.num_samples + 100, 2))
+        try:
+            x, fs = api.decode_range(mutant, s0, s1, precision="fast")
+        except ALLOWED:
+            continue
+        lo = min(max(s0, 0), hdr.num_samples)
+        hi = max(min(s1, hdr.num_samples), lo)
+        assert x.shape == (hi - lo, hdr.n_channels)
+        assert np.all(np.isfinite(x))

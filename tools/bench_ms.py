@@ -56,7 +56,7 @@ def main() -> None:
             ts.append(time.perf_counter() - t0)
         return float(np.median(ts))
 
-    def chained(encfn, xin, k=4):
+    def chained(encfn, xin, k=16):
         def run(xx):
             def body(carry, _):
                 x2 = jnp.where(carry < 0, xx + jnp.float32(1), xx)
@@ -87,7 +87,7 @@ def main() -> None:
     tlen = num_frames(x.shape[1], cfg.n_mdct_lines) * cfg.n_mdct_lines
     wd = jnp.asarray(np.asarray(words))
 
-    def dec_chained(k=4):
+    def dec_chained(k=32):
         def run(ww):
             def body(carry, _):
                 w2 = jnp.where(carry < 0, ww + jnp.uint32(1), ww)
