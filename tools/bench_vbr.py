@@ -89,7 +89,7 @@ def main() -> None:
     # defeats XLA's buffer reuse), while one 8x60-s dispatch is ~150 ms
     # against the ~28 ms RPC, so the raw quotient understates the chip
     # by <20%.
-    b = 8
+    b = int(os.environ.get("TAC_BENCH_VBR_CLIPS", 8))
     xb = jnp.asarray(np.stack([x] * b), jnp.float32)
     jb = jax.jit(lambda xx: codec._encode_vbr_packed_leading(xx, cfg))
     dt = timeit(lambda: np.asarray(jb(xb)[1][0, 0, 0]))
