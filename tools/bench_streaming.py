@@ -49,7 +49,8 @@ def main() -> None:
 
     fs = 44100
     modes = {"raw": "stereo44-128", "vbr": "vbr-huffman",
-             "bs": "streaming-ll", "combo": "vbr-bs"}
+             "bs": "streaming-ll", "combo": "vbr-bs",
+             "ms_combo": "vbr-ms-bs"}       # joint pair cores (SPEC §11×§9)
     out = {"backend": jax.default_backend(),
            "null_dispatch_ms": round(null_dispatch_ms(), 1)}
 
