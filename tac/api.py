@@ -229,9 +229,9 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
             f"encode_array expects float[T] or [T, C] (got {x.shape}: "
             f"{c} channels) — transpose [C, T] input")
     if c != cfg.n_channels:
-        if cfg.stereo_mode == "ms" and c != 2:
+        if cfg.stereo_mode == "ms" and c % 2:
             raise ValueError(
-                f"stereo_mode='ms' requires 2-channel input, got {c}")
+                f"stereo_mode='ms' requires even channel count, got {c}")
         cfg = cfg.replace(n_channels=c)
     h = cfg.n_mdct_lines
     n_lines = bands.lines_per_band(cfg.sample_rate, h)

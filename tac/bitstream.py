@@ -22,7 +22,8 @@ MAGIC = b"PACT"
 VERSION = 1
 FLAG_HUFFMAN = 1
 FLAG_BLOCKSWITCH = 2
-FLAG_MS = 4          # mid/side stereo: decode applies L = M+S, R = M−S
+FLAG_MS = 4          # mid/side pairs: decode applies L = M+S, R = M−S
+                     # to each adjacent channel pair (SPEC.md §11)
 
 
 # ----------------------------------------------------------- bit packing ----
@@ -146,8 +147,8 @@ def read_header(data: bytes) -> tuple[PacHeader, int]:
         off += 1
         n_lines_short = np.frombuffer(data, "<u2", nbs, off).astype(np.int32)
         off += 2 * nbs
-    if flags & FLAG_MS and nch != 2:
-        raise ValueError("mid/side flag on a non-stereo stream "
+    if flags & FLAG_MS and nch % 2:
+        raise ValueError("mid/side flag on an odd-channel stream "
                          "(corrupt header)")
     hdr = PacHeader(sample_rate=fs, n_channels=nch, num_samples=nsamp,
                     bitrate_bps=bps, n_mdct_lines=h_long,

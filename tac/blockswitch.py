@@ -560,9 +560,10 @@ def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
     lead, f = frames.shape[:-2], frames.shape[-2]
     cost_tab = hf.cost_table_jnp()
     if cfg.stereo_mode == "ms":
-        tfl = transient_flags(xt, cfg)
-        t_pair = tfl[..., 0, :] | tfl[..., 1, :]
-        states = window_states(t_pair, f)                # [..., F] shared
+        tfl = transient_flags(xt, cfg)                   # [..., C, Kb]
+        tp = tfl.reshape(*tfl.shape[:-2], -1, 2, tfl.shape[-1])
+        t_pair = tp[..., 0, :] | tp[..., 1, :]           # [..., P, Kb]
+        states = window_states(t_pair, f)                # [..., P, F] shared
         pf = frames.reshape(-1, 2, f, frames.shape[-1])
         words, nbits, _ = _encode_bs_vbr_ms_to_words(
             pf, states.reshape(-1, f), jnp.zeros(pf.shape[0], jnp.int32),
@@ -709,11 +710,14 @@ def _encode_bs_packed_leading(x, cfg: CodecConfig):
     bs_chunk = max(512, codec_mod._enc_chunk() // 2)
 
     if cfg.stereo_mode == "ms":
-        tfl = transient_flags(xt, cfg)                   # [..., 2, Kb]
-        t_pair = tfl[..., 0, :] | tfl[..., 1, :]
-        states = window_states(t_pair, f)                # [..., F]
-        fr = jnp.swapaxes(frames, -3, -2)                # [..., F, 2, N]
-        st = jnp.broadcast_to(states[..., None], fr.shape[:-1])
+        tfl = transient_flags(xt, cfg)                   # [..., C, Kb]
+        tp = tfl.reshape(*tfl.shape[:-2], -1, 2, tfl.shape[-1])
+        t_pair = tp[..., 0, :] | tp[..., 1, :]           # [..., P, Kb]
+        states = window_states(t_pair, f)                # [..., P, F]
+        fr = jnp.swapaxes(frames, -3, -2)                # [..., F, C, N]
+        # each channel rides its pair's shared state: [..., P, F] →
+        # [..., C, F] → [..., F, C]
+        st = jnp.swapaxes(jnp.repeat(states, 2, axis=-2), -2, -1)
 
         def chunk_words_ms(frc, stc):
             bc = _encode_ms_bs_rows_chunk(frc, stc, cfg, c)
@@ -841,63 +845,71 @@ def _encode_frames_bs_vbr_packed(prior, look, new_halves, t_hist, res0,
 def _ms_stream_prep(prior, look, new_halves, t_hist, c: BsConsts,
                     cfg: CodecConfig):
     """Shared front half of the M/S streaming cores: L/R half-block
-    buffers → (M/S frames [2, m, N], shared states [m], t bool[1, m+3]).
+    buffers → (M/S frames [C, m, N], shared states [P, m], t bool[P, m+3]),
+    P = C//2 channel pairs.
 
     The butterfly is per-sample, so running it on the formed halves is
     bit-identical to offline's butterfly-then-frame at the same dtype
     (SPEC.md §11 streaming contract); transient flags are computed per
-    M/S channel and OR-ed across the pair — ONE window state per frame,
-    the joint allocation's precondition (SPEC.md §11 × §9)."""
+    M/S channel and OR-ed across each pair — ONE window state per frame
+    per pair, the joint allocation's precondition (SPEC.md §11 × §9)."""
     dt = c.cl.dtype
-    m = new_halves.shape[1]
+    ch, m = new_halves.shape[0], new_halves.shape[1]
     halves = jnp.concatenate(
         [prior.astype(dt)[:, None], look.astype(dt)[:, None],
-         new_halves.astype(dt)], axis=1)                 # [2, m+2] L/R
+         new_halves.astype(dt)], axis=1)                 # [C, m+2] L/R
     halves = codec_mod.ms_forward(halves.swapaxes(0, 1)).swapaxes(0, 1)
     frames = jnp.concatenate([halves[:, :m], halves[:, 1:m + 1]], axis=-1)
-    flags = transient_flags(halves[:, 1:].reshape(2, -1), cfg)  # [2, m+1]
-    t = jnp.concatenate([t_hist, (flags[0] | flags[1])[None]], axis=1)
-    return frames, _stream_states(t, m)[0], t
+    flags = transient_flags(halves[:, 1:].reshape(ch, -1), cfg)  # [C, m+1]
+    t_pair = flags[0::2] | flags[1::2]                   # [P, m+1]
+    t = jnp.concatenate([t_hist, t_pair], axis=1)        # [P, m+3]
+    return frames, _stream_states(t, m), t
 
 
 @partial(jax.jit, static_argnums=(4,))
 def _encode_frames_bs_ms_packed(prior, look, new_halves, t_hist,
                                 cfg: CodecConfig):
     """Streaming M/S × blockswitch core (SPEC.md §11 × §9): the same
-    halves contract as _encode_frames_bs_packed, but prior/look [2, H]
-    and new_halves [2, m, H] arrive in the L/R domain and t_hist
-    bool[1, 2] carries the SHARED pair flags (t_{e-2}, t_{e-1}). The
-    joint pair water-fill over the 2B state-selected bands is the
-    offline _encode_ms_bs_rows_chunk — stream bytes == offline bytes.
-    Returns (words [2, m, W32], nbits [2, m], t bool[1, m+3])."""
+    halves contract as _encode_frames_bs_packed, but prior/look [C, H]
+    and new_halves [C, m, H] arrive in the L/R domain and t_hist
+    bool[P, 2] carries the SHARED pair flags (t_{e-2}, t_{e-1}) per
+    channel pair (P = C//2). The joint pair water-fill over the 2B
+    state-selected bands is the offline _encode_ms_bs_rows_chunk —
+    stream bytes == offline bytes.
+    Returns (words [C, m, W32], nbits [C, m], t bool[P, m+3])."""
     from tac.ops.bitpack import pack_rows
 
     c = make_bs_consts(cfg)
-    m = new_halves.shape[1]
+    ch, m = new_halves.shape[0], new_halves.shape[1]
     frames, states, t = _ms_stream_prep(prior, look, new_halves, t_hist,
                                         c, cfg)
-    rows = frames.swapaxes(0, 1).reshape(2 * m, -1)      # pair-adjacent
-    bc = _encode_ms_bs_rows_chunk(rows, jnp.repeat(states, 2), cfg, c)
+    rows = frames.swapaxes(0, 1).reshape(ch * m, -1)     # pair-adjacent
+    # per-row states in (frame, channel) order: [P, m] → [m, C] → [R]
+    st_rows = jnp.repeat(states.swapaxes(0, 1), 2, axis=-1).reshape(-1)
+    bc = _encode_ms_bs_rows_chunk(rows, st_rows, cfg, c)
     vals, wids = payload_fields_bs(bc, cfg, c)
     words, nbits = pack_rows(vals, wids, capacity_bits_bs(cfg, c))
-    return (words.reshape(m, 2, -1).swapaxes(0, 1),
-            nbits.reshape(m, 2).swapaxes(0, 1), t)
+    return (words.reshape(m, ch, -1).swapaxes(0, 1),
+            nbits.reshape(m, ch).swapaxes(0, 1), t)
 
 
 @partial(jax.jit, static_argnums=(5,))
 def _encode_frames_bs_vbr_ms_packed(prior, look, new_halves, t_hist, res0,
                                     cfg: CodecConfig):
     """Streaming M/S × blockswitch × huffman core (SPEC.md §11 × §9 × §8):
-    _encode_frames_bs_ms_packed plus the carried JOINT reservoir fill
-    res0 i32[1] (one lane per pair, resumed — stream bytes == offline
-    bytes). Returns (words [2, m, W32], nbits [2, m], t bool[1, m+3],
-    res_steps i32[m])."""
+    _encode_frames_bs_ms_packed plus the carried JOINT reservoir fills
+    res0 i32[P] (one lane per pair, resumed — stream bytes == offline
+    bytes). Returns (words [C, m, W32], nbits [C, m], t bool[P, m+3],
+    res_steps i32[P, m])."""
     c = make_bs_consts(cfg)
+    ch, m = new_halves.shape[0], new_halves.shape[1]
     frames, states, t = _ms_stream_prep(prior, look, new_halves, t_hist,
                                         c, cfg)
     words, nbits, res_steps = _encode_bs_vbr_ms_to_words(
-        frames[None], states[None], jnp.asarray(res0, jnp.int32), cfg, c)
-    return words[0], nbits[0], t, res_steps[0]
+        frames.reshape(-1, 2, m, frames.shape[-1]), states,
+        jnp.asarray(res0, jnp.int32), cfg, c)
+    return (words.reshape(ch, m, words.shape[-1]),
+            nbits.reshape(ch, m), t, res_steps)
 
 
 def payload_to_frames_bs(data: bytes, offset: int, n_blocks: int,

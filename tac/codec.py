@@ -51,21 +51,24 @@ class CodecConsts(NamedTuple):
 
 
 def ms_forward(x):
-    """[..., 2, T] L/R → M/S: M = (L+R)/2, S = (L−R)/2 (SPEC.md §11).
+    """[..., C, T] (C even) L/R → M/S per adjacent channel PAIR:
+    M = (L+R)/2, S = (L−R)/2 (SPEC.md §11). Channels (2p, 2p+1) butterfly
+    into (mid_p, side_p) in place — stereo is the P=1 case, multichannel
+    (quad, 5.1-without-LFE-pairing, …) butterflies every pair.
 
     The halving keeps M/S in [-1, 1) for full-scale correlated input; the
     inverse is the exact sum/difference (no half), so the butterfly round
     trip costs one rounding per sample — far below quantization noise."""
-    m = 0.5 * (x[..., 0, :] + x[..., 1, :])
-    s = 0.5 * (x[..., 0, :] - x[..., 1, :])
-    return jnp.stack([m, s], axis=-2)
+    ev, od = x[..., 0::2, :], x[..., 1::2, :]
+    m = 0.5 * (ev + od)
+    s = 0.5 * (ev - od)
+    return jnp.stack([m, s], axis=-2).reshape(x.shape)
 
 
 def ms_inverse(x):
-    """[..., 2, T] M/S → L/R: L = M + S, R = M − S."""
-    l = x[..., 0, :] + x[..., 1, :]
-    r = x[..., 0, :] - x[..., 1, :]
-    return jnp.stack([l, r], axis=-2)
+    """[..., C, T] (C even) M/S → L/R per pair: L = M + S, R = M − S."""
+    m, s = x[..., 0::2, :], x[..., 1::2, :]
+    return jnp.stack([m + s, m - s], axis=-2).reshape(x.shape)
 
 
 def frame_budget(cfg: CodecConfig, h: Optional[int] = None) -> int:
@@ -552,8 +555,8 @@ def _encode_frames_vbr_packed(prior, halves, res0, cfg: CodecConfig):
 
 @partial(jax.jit, static_argnums=(2,))
 def _encode_frames_ms_packed_halves(prior, halves, cfg: CodecConfig):
-    """Streaming M/S fixed-rate core (SPEC.md §11): (prior [2, H] L/R,
-    halves [2, m, H] L/R) → (words [2, m, W32], nbits [2, m]).
+    """Streaming M/S fixed-rate core (SPEC.md §11): (prior [C, H] L/R,
+    halves [C, m, H] L/R, C even) → (words [C, m, W32], nbits [C, m]).
 
     Frames form on device from the L/R halves, THEN the butterfly runs
     (per-sample, so it commutes with framing — bit-identical to the
@@ -573,18 +576,21 @@ def _encode_frames_ms_packed_halves(prior, halves, cfg: CodecConfig):
 @partial(jax.jit, static_argnums=(3,))
 def _encode_frames_ms_vbr_packed(prior, halves, res0, cfg: CodecConfig):
     """Streaming M/S joint-reservoir VBR core (SPEC.md §11 × §8):
-    (prior [2, H] L/R, halves [2, m, H] L/R, res0 i32[1] carried joint
-    fill) → (words [2, m, W32], nbits [2, m], res_steps i32[m]).
+    (prior [C, H] L/R, halves [C, m, H] L/R, res0 i32[P] carried joint
+    fills, P = C//2 pairs) → (words [C, m, W32], nbits [C, m],
+    res_steps i32[P, m]).
 
     Same joint chain as the offline _encode_vbr_ms_to_words, resumed
-    from the carried fill — stream bytes == offline bytes."""
+    from the carried fills — stream bytes == offline bytes."""
     c = make_consts(cfg)
-    frames = _frames_from_halves(prior, halves, c.dtype)   # [2, m, N] L/R
-    fr = ms_forward(jnp.swapaxes(frames, 0, 1))            # [m, 2, N] M/S
-    pf = jnp.swapaxes(fr, 0, 1)[None]                      # [1, 2, m, N]
+    frames = _frames_from_halves(prior, halves, c.dtype)   # [C, m, N] L/R
+    fr = ms_forward(jnp.swapaxes(frames, 0, 1))            # [m, C, N] M/S
+    m, ch, n = fr.shape
+    pf = jnp.swapaxes(fr, 0, 1).reshape(-1, 2, m, n)       # [P, 2, m, N]
     words, nbits, res_steps = _encode_vbr_ms_to_words(
-        pf, cfg, c, jnp.asarray(res0, jnp.int32).reshape(1))
-    return words[0], nbits[0], res_steps[0]
+        pf, cfg, c, jnp.asarray(res0, jnp.int32).reshape(ch // 2))
+    return (words.reshape(ch, m, words.shape[-1]),
+            nbits.reshape(ch, m), res_steps)
 
 
 # ------------------------------------------------- device-packed decode -----
@@ -856,8 +862,10 @@ def _decode_frames_stream(words, tail, m, cfg: CodecConfig):
     if cfg.stereo_mode == "ms":
         # finalized rows are complete M/S samples: the inverse butterfly
         # is per-sample, so applying it here (tail stays M/S) equals the
-        # offline ms_inverse-after-overlap-add exactly (SPEC.md §11)
-        out = jnp.stack([out[0] + out[1], out[0] - out[1]])
+        # offline ms_inverse-after-overlap-add exactly (SPEC.md §11);
+        # pairwise over the leading channel axis (C even)
+        m_, s_ = out[0::2], out[1::2]
+        out = jnp.stack([m_ + s_, m_ - s_], axis=1).reshape(out.shape)
     return out, new_tail
 
 

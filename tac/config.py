@@ -77,8 +77,10 @@ class CodecConfig:
         if self.stereo_mode not in ("lr", "ms"):
             raise ValueError(f"unknown stereo_mode {self.stereo_mode!r}")
         if self.stereo_mode == "ms":
-            if self.n_channels != 2:
-                raise ValueError("stereo_mode='ms' requires n_channels=2")
+            if self.n_channels % 2:
+                raise ValueError(
+                    "stereo_mode='ms' requires an even n_channels "
+                    "(adjacent channels butterfly pairwise, SPEC.md §11)")
 
     # ---- derived (all python ints: static under jit) ----
 

@@ -15,6 +15,22 @@ from tac.oracle.pacfile import PACFile
 from tac.oracle.wavfile import WAVFile
 
 
+def _ms_fwd_np(x: np.ndarray) -> np.ndarray:
+    """[T, C] L/R → M/S per adjacent channel pair (SPEC.md §11)."""
+    y = np.empty_like(x)
+    y[:, 0::2] = 0.5 * (x[:, 0::2] + x[:, 1::2])
+    y[:, 1::2] = 0.5 * (x[:, 0::2] - x[:, 1::2])
+    return y
+
+
+def _ms_inv_np(x: np.ndarray) -> np.ndarray:
+    """[T, C] M/S → L/R per adjacent channel pair."""
+    y = np.empty_like(x)
+    y[:, 0::2] = x[:, 0::2] + x[:, 1::2]
+    y[:, 1::2] = x[:, 0::2] - x[:, 1::2]
+    return y
+
+
 def encode(wav_path: str, pac_path: str, cfg: CodecConfig) -> None:
     wav = WAVFile(wav_path)
     cp = wav.OpenForReading()
@@ -27,8 +43,8 @@ def encode(wav_path: str, pac_path: str, cfg: CodecConfig) -> None:
         if data is None:
             break
         if cfg.stereo_mode == "ms":      # per-block butterfly == whole-signal
-            data = [0.5 * (np.asarray(data[0]) + np.asarray(data[1])),
-                    0.5 * (np.asarray(data[0]) - np.asarray(data[1]))]
+            data = list(_ms_fwd_np(
+                np.stack([np.asarray(d) for d in data], axis=1)).T)
         pac.WriteDataBlock(data, cp)
     pac.Close(cp)
     wav.Close(cp)
@@ -45,8 +61,8 @@ def decode(pac_path: str, wav_path: str,
         if data is None:
             break
         if pac.cfg.stereo_mode == "ms":
-            data = [np.asarray(data[0]) + np.asarray(data[1]),
-                    np.asarray(data[0]) - np.asarray(data[1])]
+            data = list(_ms_inv_np(
+                np.stack([np.asarray(d) for d in data], axis=1)).T)
         out.WriteDataBlock(data, cp)
     out.Close(cp)
     pac.Close(cp)
@@ -64,9 +80,8 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
     t, c = x.shape
     cfg = cfg.replace(n_channels=c)
     if cfg.stereo_mode == "ms":
-        # butterfly whole-signal (SPEC.md §11) — blocks below see M/S
-        x = np.stack([0.5 * (x[:, 0] + x[:, 1]),
-                      0.5 * (x[:, 0] - x[:, 1])], axis=1)
+        # pairwise butterfly whole-signal (SPEC.md §11) — blocks see M/S
+        x = _ms_fwd_np(x)
     h = cfg.n_mdct_lines
     cp = CodingParams(sampleRate=cfg.sample_rate, nChannels=c, numSamples=t,
                       nSamplesPerBlock=h)
@@ -78,48 +93,53 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
 
     if cfg.use_block_switch and cfg.stereo_mode == "ms":
         # SPEC.md §11 × §9: x is already M/S; a transient in EITHER
-        # channel switches BOTH (shared per-pair window state), the
-        # allocation is joint over 2B state-selected bands, and the
+        # channel of a pair switches BOTH (shared per-pair window state),
+        # the allocation is joint over 2B state-selected bands, and the
         # huffman combo runs ONE joint reservoir + tableId per pair.
         from tac.oracle import blockswitch as obs
         from tac.oracle.bitpack import PackedBits
         f = n_blocks + 1
-        t_pair = obs.transient_flags(x[:, 0], cfg) \
-            | obs.transient_flags(x[:, 1], cfg)
-        states = obs.window_states(t_pair, f)
-        prior = [np.zeros(h), np.zeros(h)]
+        n_pairs = c // 2
+        states = [obs.window_states(
+            obs.transient_flags(x[:, 2 * p], cfg)
+            | obs.transient_flags(x[:, 2 * p + 1], cfg), f)
+            for p in range(n_pairs)]
+        prior = [np.zeros(h) for _ in range(c)]
         base2 = 2 * obs.frame_budget(cfg)
         cap2 = cfg.reservoir_factor * base2
-        res = 0
+        res = [0] * n_pairs
         for i in range(f):
             newb = xp[i * h:(i + 1) * h] if i < n_blocks \
                 else np.zeros((h, c))
             fulls = []
-            for ch in range(2):
+            for ch in range(c):
                 fulls.append(np.concatenate([prior[ch], newb[:, ch]]))
                 prior[ch] = newb[:, ch].copy()
-            st = int(states[i])
-            if cfg.use_huffman:
-                tuples, bol = obs.encode_block_bs_ms(
-                    fulls[0], fulls[1], st, cfg, base2 + res)
-                raw = huf = 0
-                for _, alloc, _, mant in tuples:
-                    r_, h_ = obs._grouped_costs(alloc, mant, bol)
-                    raw += r_
-                    huf += h_
-                tid = 1 if huf < raw else 0
-                res = min(max(res + base2 - min(raw, huf), 0), cap2)
-            else:
-                tuples, bol = obs.encode_block_bs_ms(
-                    fulls[0], fulls[1], st, cfg, base2)
-                tid = None
-            for t4 in tuples:
-                pb = PackedBits()
-                pb.WriteBits(st, 2)
-                obs._write_grouped(pb, *t4, bol, cfg, table_id=tid)
-                payload = pb.GetPackedData()
-                pac.fp.write(len(payload).to_bytes(2, "little"))
-                pac.fp.write(payload)
+            for p in range(n_pairs):
+                st = int(states[p][i])
+                if cfg.use_huffman:
+                    tuples, bol = obs.encode_block_bs_ms(
+                        fulls[2 * p], fulls[2 * p + 1], st, cfg,
+                        base2 + res[p])
+                    raw = huf = 0
+                    for _, alloc, _, mant in tuples:
+                        r_, h_ = obs._grouped_costs(alloc, mant, bol)
+                        raw += r_
+                        huf += h_
+                    tid = 1 if huf < raw else 0
+                    res[p] = min(max(res[p] + base2 - min(raw, huf), 0),
+                                 cap2)
+                else:
+                    tuples, bol = obs.encode_block_bs_ms(
+                        fulls[2 * p], fulls[2 * p + 1], st, cfg, base2)
+                    tid = None
+                for t4 in tuples:
+                    pb = PackedBits()
+                    pb.WriteBits(st, 2)
+                    obs._write_grouped(pb, *t4, bol, cfg, table_id=tid)
+                    payload = pb.GetPackedData()
+                    pac.fp.write(len(payload).to_bytes(2, "little"))
+                    pac.fp.write(payload)
     elif cfg.use_block_switch:
         from tac.oracle import blockswitch as obs
         from tac.oracle.bitpack import PackedBits
@@ -197,5 +217,5 @@ def decode_array(data: bytes, cfg: CodecConfig | None = None
             chunks.append(np.stack(out, axis=1))
     x = np.concatenate(chunks, axis=0)[:cp.numSamples]
     if pac.cfg.stereo_mode == "ms":
-        x = np.stack([x[:, 0] + x[:, 1], x[:, 0] - x[:, 1]], axis=1)
+        x = _ms_inv_np(x)
     return x, cp.sampleRate

@@ -227,34 +227,40 @@ class PACFile(AudioFile):
             self.fp.write(payload)
 
     def _write_block_ms(self, data, base: int) -> None:
-        """Joint M/S block write (SPEC.md §11): one BitAlloc over the
-        pair's 2B bands; huffman mode uses one JOINT reservoir and one
-        tableId written into both channels' payloads."""
+        """Joint M/S block write (SPEC.md §11): one BitAlloc over each
+        channel PAIR's 2B bands; huffman mode uses one JOINT reservoir
+        (self._res[p]) and one tableId written into both of the pair's
+        payloads. Channels butterfly pairwise (2p, 2p+1) — stereo is the
+        one-pair case."""
         from tac.oracle.codec import EncodeBlockMS
 
         cfg = self.cfg
         fulls = []
-        for c in range(2):
+        for c in range(len(data)):
             fulls.append(np.concatenate([self._prior[c], data[c]]))
             self._prior[c] = np.asarray(data[c], np.float64).copy()
-        if cfg.use_huffman:
-            base2 = 2 * base
-            cap2 = cfg.reservoir_factor * base2
-            budget = base2 + self._res[0]
-            tuples = EncodeBlockMS(fulls[0], fulls[1], cfg, budget)
-            raw = huf = 0
-            for ovs, alloc, scale, mant in tuples:
-                r_, h_ = _mantissa_costs(alloc, mant, cfg)
-                raw += r_
-                huf += h_
-            tid = 1 if huf < raw else 0
-            used = min(raw, huf)
-            self._res[0] = min(max(self._res[0] + base2 - used, 0), cap2)
-            payloads = [_write_payload(*t, cfg, table_id=tid)
-                        for t in tuples]
-        else:
-            tuples = EncodeBlockMS(fulls[0], fulls[1], cfg)
-            payloads = [_write_payload(*t, cfg) for t in tuples]
+        payloads = []
+        for p in range(len(data) // 2):
+            if cfg.use_huffman:
+                base2 = 2 * base
+                cap2 = cfg.reservoir_factor * base2
+                budget = base2 + self._res[p]
+                tuples = EncodeBlockMS(fulls[2 * p], fulls[2 * p + 1],
+                                       cfg, budget)
+                raw = huf = 0
+                for ovs, alloc, scale, mant in tuples:
+                    r_, h_ = _mantissa_costs(alloc, mant, cfg)
+                    raw += r_
+                    huf += h_
+                tid = 1 if huf < raw else 0
+                used = min(raw, huf)
+                self._res[p] = min(max(self._res[p] + base2 - used, 0),
+                                   cap2)
+                payloads += [_write_payload(*t, cfg, table_id=tid)
+                             for t in tuples]
+            else:
+                tuples = EncodeBlockMS(fulls[2 * p], fulls[2 * p + 1], cfg)
+                payloads += [_write_payload(*t, cfg) for t in tuples]
         for payload in payloads:
             self.fp.write(len(payload).to_bytes(2, "little"))
             self.fp.write(payload)

@@ -103,10 +103,10 @@ class StreamEncoder:
         self.cfg = cfg.replace(n_channels=c)
         h = cfg.n_mdct_lines
         # ms mode: ONE joint reservoir + ONE shared transient history per
-        # pair (SPEC.md §11), kept as length-1 leading axes; buffers stay
-        # in the L/R domain — the butterfly runs on device inside the ms
-        # cores (commutes with framing)
-        n_ms = 1 if cfg.stereo_mode == "ms" else c
+        # channel PAIR (SPEC.md §11), kept as length-P leading axes;
+        # buffers stay in the L/R domain — the butterfly runs on device
+        # inside the ms cores (commutes with framing)
+        n_ms = c // 2 if cfg.stereo_mode == "ms" else c
         self.state = StreamState(
             prior=np.zeros((c, h)), look=np.zeros((c, h)),
             pending=np.zeros((c, 0)), reservoir=np.zeros(n_ms, np.int64),
@@ -199,7 +199,8 @@ class StreamEncoder:
                 res0 = jnp.asarray(st.reservoir, jnp.int32)
                 words, nbits, res_steps = codec._encode_frames_ms_vbr_packed(
                     prior, hp, res0, cfg)
-                st.reservoir = np.asarray(res_steps)[m - 1:m].astype(np.int64)
+                st.reservoir = np.asarray(res_steps)[:, m - 1] \
+                    .astype(np.int64)
             else:
                 words, nbits = codec._encode_frames_ms_packed_halves(
                     prior, hp, cfg)
@@ -240,7 +241,7 @@ class StreamEncoder:
                     bsw._encode_frames_bs_vbr_ms_packed(
                         prior, look, hp, jnp.asarray(st.t_hist),
                         jnp.asarray(st.reservoir, jnp.int32), cfg)
-                st.reservoir = np.asarray(res_steps)[m - 1:m] \
+                st.reservoir = np.asarray(res_steps)[:, m - 1] \
                     .astype(np.int64)
             else:
                 words, nbits, t = bsw._encode_frames_bs_ms_packed(

@@ -106,8 +106,10 @@ def test_ms_config_validation():
         CodecConfig(stereo_mode="ms", n_channels=1)
     # ms x blockswitch is supported (SPEC.md §11 x §9) — must NOT raise
     CodecConfig(stereo_mode="ms", n_channels=2, use_block_switch=True)
-    with pytest.raises(ValueError, match="2-channel"):
+    with pytest.raises(ValueError, match="even channel"):
         api.encode_array(np.zeros((4096, 1)), PRESETS["stereo44-128-ms"])
+    # even multichannel is allowed: adjacent pairs butterfly (SPEC.md §11)
+    CodecConfig(stereo_mode="ms", n_channels=4)
 
 
 @pytest.mark.parametrize("preset", ["stereo44-128-ms", "vbr-ms", "ms-bs",
