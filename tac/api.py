@@ -338,10 +338,14 @@ def decode_range(data: bytes, start: int, stop: int,
     bytes are uploaded and decoded on device.
 
     Indices clamp to [0, num_samples]; works for every stream family
-    (raw / VBR / blockswitch / combo, lr and ms). Each distinct covered
-    frame COUNT compiles its own device program — for repeated fixed-size
-    windows (the common seek/preview case) the jit cache makes subsequent
-    calls cheap.
+    (raw / VBR / blockswitch / combo, lr and ms). The covered frame COUNT
+    is rounded up to the next power of two (capped at the clip's frame
+    count) and the extra real frames decoded and sliced away, so a server
+    issuing arbitrary-length seeks compiles at most ~log2(F) device
+    programs per stream family instead of one per distinct length
+    (tests/test_seek.py::test_seek_compile_count). Worst case this decodes
+    2x the needed frames — cheaper than one extra XLA compile by orders of
+    magnitude.
     """
     hdr, off = bs.read_header(data)
     cfg = header_config(hdr, precision)
@@ -354,7 +358,11 @@ def decode_range(data: bytes, start: int, stop: int,
     if stop == start:
         return np.zeros((0, c), np.float32), hdr.sample_rate
     fa, fb = start // h, min(f, (stop - 1) // h + 2)
-    k = fb - fa
+    # bucket the covered count: round up to a power of two (≤ f) and take
+    # the extra frames from real neighbors — backward when hitting EOF
+    k = min(1 << (fb - fa - 1).bit_length(), f)
+    fb = min(f, fa + k)
+    fa = fb - k
     offs, lens = bs.split_blocks(data, off, f * c)
     offs = np.asarray(offs)[fa * c: fb * c]
     lens = np.asarray(lens)[fa * c: fb * c]

@@ -28,10 +28,21 @@ import jax
 import jax.numpy as jnp
 from jax import ops as jops
 
+import os
+
 from tac import bands
 from tac.dsp.window import hann_window, window_fn
 
 _NEG = -1e30  # "minus infinity" that stays finite in f32
+
+_LOG2_10 = 3.321928094887362      # log2(10); dB -> log2-intensity is /10*this
+_KDOWN2 = 2.7 * _LOG2_10          # 27 dB/Bark lower slope in log2/Bark
+
+# near-minimax degree-5 fit of 2^f on [-0.5, 0.5]; max f32 relative error
+# 2.2e-7 (~2 ulp) — fitted by Lawson-reweighted lstsq, checked in-repo
+# (tests/test_psy.py::test_exp2_fast_accuracy).
+_EXP2_C = (1.0000000715489792, 0.693146967208921, 0.24022120218837253,
+           0.055507133177071524, 0.009675515620859394, 0.0013276376792533775)
 
 
 # ------------------------------------------------------- scalar formulas ----
@@ -158,6 +169,69 @@ def band_slice_sum(x, ranges: tuple):
     return jnp.stack(cols, axis=-1)
 
 
+def _exp2_fast(t):
+    """Cheap f32 exp2 for the TAC_FAST_SPREAD=1 spreading sum (~10 VPU ops).
+
+    The input is a masking exponent, bounded by construction, so: clamp to
+    [-126, 126], split by the 1.5*2^23 magic-add round-to-nearest, degree-5
+    polynomial on the [-0.5, 0.5] fraction (max rel err 2.2e-7), and scale
+    by 2^n built with integer bit arithmetic on the rounding constant's
+    payload. exp2(-126) ~ 1.2e-38 stands in for 0 (vs quiet_i >= 1e-12:
+    invisible). Accuracy pinned under jit AND eager (test_psy.py). On the
+    v5e this chain did NOT beat XLA's exp10 lowering in situ (PERF.md
+    round 4: the spread grid is traversal-bound) — hence default off.
+    """
+    t = jnp.clip(t, -126.0, 126.0)
+    big = jnp.float32(3 * 2 ** 22)              # 1.5 * 2^23
+    r = t + big                                  # mantissa now holds round(t)
+    # bits(1.5*2^23 + n) == 0x4B400000 + n: the integer part comes back
+    # OUT of the bitcast payload, never as the float (t + big) - big —
+    # XLA's algebraic simplifier cancels that float form to plain t under
+    # jit (constant reassociation), which silently drops the fractional
+    # polynomial (f == 0) and leaves a 2^round(t) staircase: up to 41%
+    # error, caught as a 1.5 dB jit-vs-eager SMR divergence in round 4.
+    # A bitcast is opaque to the simplifier, so this form survives.
+    ri = jax.lax.bitcast_convert_type(r, jnp.int32)
+    ni = ri - 0x4B400000                         # round(t) as an int32
+    f = t - ni.astype(jnp.float32)               # in [-0.5, 0.5]
+    p = _EXP2_C[5]
+    for k in (4, 3, 2, 1, 0):
+        p = p * f + _EXP2_C[k]
+    si = (ni + 127) << 23                        # bits(2^n), n in [-126, 127]
+    return p * jax.lax.bitcast_convert_type(si, jnp.float32)
+
+
+def _spread_sum_fast(e2, zm, su, zline):
+    """Fast-mode fused spreading sum in the log2-intensity domain.
+
+    e2: [M] log2 of each masker's effective peak intensity (tonal AND noise
+        maskers share the axis; invalid slots carry _NEG),
+    zm: [M] masker Bark positions, su: [M] up-slope in log2/Bark,
+    zline: [H] line Barks. Returns summed masking intensity [H].
+
+    The two-slope spread intensity is exp2 of a min of two linear-in-z
+    functions: down branch e2 - KDOWN*(zm - z) = (e2 - KDOWN*zm) + KDOWN*z,
+    up branch e2 - su*(z - zm) = (e2 + su*zm) - su*z; min() selects the
+    correct branch everywhere because each branch upper-bounds the other on
+    its wrong side (su, KDOWN >= 0). With the per-masker intercepts hoisted,
+    the [M, H] grid is 1 add + 1 fma + min + the _exp2_fast chain per
+    element. Summation order over M matches jnp.sum on the exp10 [M, H]
+    spread tensor; values move only by the exp approximation. Measured
+    0.94-0.98x vs exp10 on the v5e (PERF.md round 4) — default off.
+    """
+    a = e2 - _KDOWN2 * zm                        # [M] down-branch intercept
+    b = e2 + su * zm                             # [M] up-branch intercept
+    t = jnp.minimum(a[:, None] + (_KDOWN2 * zline)[None, :],
+                    b[:, None] - su[:, None] * zline[None, :])
+    return jnp.sum(_exp2_fast(t), axis=0)
+
+
+def _up_slope_log2(lm):
+    """Level-dependent upper spreading slope, log2-intensity per Bark."""
+    up_db = jnp.maximum(27.0 - 0.367 * jnp.maximum(lm - 40.0, 0.0), 0.0)
+    return up_db * (_LOG2_10 / 10.0)
+
+
 def _spread_spl(lm, zm, delta, zline):
     """Two-slope Schroeder spreading (SPEC.md §5): maskers [K] → lines [H].
 
@@ -237,9 +311,34 @@ def masked_threshold(time_frame, c: PsyConsts):
     lm = spl_from_intensity(top_i)                           # [K]
     zm = bark(fm)
 
-    spread = _spread_spl(lm, zm, c.delta_tonal, c.zline)     # [K, H]
-    spread = jnp.where(valid[:, None], spread, _NEG)
-    thr_i = jnp.sum(intensity_from_spl(spread) * valid[:, None], axis=0)
+    # TAC_FAST_SPREAD=1 (trace-time): the whole two-slope spread+sum
+    # (tonal AND noise maskers on one axis) in the log2-intensity domain
+    # with a ~10-op exp2 chain instead of exp10. MEASURED DEAD END on the
+    # v5e, default OFF (PERF.md round 4): whole-encode A/B 0.92x,
+    # isolated masked_threshold 0.937x — the [M, H] spreading stage is
+    # bound by grid traversal + the masker-axis reduction, not by the
+    # per-cell transcendental, so cutting exp op-count buys nothing (and
+    # the same accounting rejects the suffix-sum down-slope decomposition:
+    # the level-dependent up-slope branch keeps the full grid). Kept,
+    # tested (test_psy.py), for A/B on other backends.
+    fast_spread = (c.fft_cos is not None
+                   and os.environ.get("TAC_FAST_SPREAD") == "1")
+    lg = _LOG2_10 / 10.0
+    if fast_spread:
+        e2 = jnp.where(valid, (lm - c.delta_tonal - 96.0) * lg, _NEG)
+        su = _up_slope_log2(lm)
+        # invalid slots carry fm = 0/0 = NaN under XLA:CPU's flush-to-zero
+        # (the 1e-40 guard is subnormal) → zm = NaN, which would poison the
+        # whole masker SUM through the intercepts. The slow path is immune
+        # (it rescues AFTER the spread); here rescue zm itself. isfinite
+        # also covers a valid-but-subnormal top_i whose fm overflowed.
+        zm_f = jnp.where(valid & jnp.isfinite(zm), zm, 0.0)
+        if not c.noise_maskers:
+            return _spread_sum_fast(e2, zm_f, su, c.zline) + c.quiet_i
+    else:
+        spread = _spread_spl(lm, zm, c.delta_tonal, c.zline)     # [K, H]
+        spread = jnp.where(valid[:, None], spread, _NEG)
+        thr_i = jnp.sum(intensity_from_spl(spread) * valid[:, None], axis=0)
 
     if c.noise_maskers:
         # bins swallowed by a kept tonal masker (±1) are excluded from
@@ -262,8 +361,15 @@ def masked_threshold(time_frame, c: PsyConsts):
         nb = bands.N_BANDS
         noise_i = jops.segment_sum(noise_line_i, c.band_of_line, num_segments=nb)
         ln = spl_from_intensity(noise_i)                     # [B]
-        nspread = _spread_spl(ln, c.noise_z, c.delta_noise, c.zline)  # [B, H]
         nvalid = noise_i > 0.0
+        if fast_spread:
+            e2n = jnp.where(nvalid, (ln - c.delta_noise - 96.0) * lg, _NEG)
+            return _spread_sum_fast(
+                jnp.concatenate([e2, e2n]),
+                jnp.concatenate([zm_f, c.noise_z.astype(zm.dtype)]),
+                jnp.concatenate([su, _up_slope_log2(ln)]),
+                c.zline) + c.quiet_i
+        nspread = _spread_spl(ln, c.noise_z, c.delta_noise, c.zline)  # [B, H]
         thr_i = thr_i + jnp.sum(intensity_from_spl(nspread) * nvalid[:, None], axis=0)
 
     return thr_i + c.quiet_i

@@ -81,3 +81,70 @@ def test_calc_smrs_matches_oracle(sines_frame, rng):
     smr_o = opsy.CalcSMRs(x, lines, 0, fs, w)
     mask = smr_o > -1e29
     np.testing.assert_allclose(smr_j[mask], smr_o[mask], atol=1e-8)
+
+
+def test_exp2_fast_accuracy():
+    """The fast-spread exp2 chain (psy._exp2_fast) is ~2-ulp accurate on the
+    masking-exponent range and exact-enough at the clamp edges — UNDER JIT:
+    XLA's algebraic simplifier cancelled the original (t + big) - big
+    round-to-nearest split to plain t, silently dropping the fractional
+    polynomial (a 2^round(t) staircase, 41% worst error) while the eager
+    path stayed correct. The eager leg is asserted too, but jit is the
+    contract."""
+    import jax
+
+    t = jnp.asarray(np.linspace(-126.0, 30.0, 400001), jnp.float32)
+    ref = np.exp2(np.asarray(t, np.float64))
+    for fn in (jax.jit(jpsy._exp2_fast), jpsy._exp2_fast):
+        got = np.asarray(fn(t), np.float64)
+        rel = np.abs(got - ref) / ref
+        assert rel.max() < 5e-7, rel.max()
+    # the _NEG sentinel (-1e30) must clamp to a denormal-range zero stand-in
+    assert float(jpsy._exp2_fast(jnp.float32(-1e30))) < 1.5e-38
+
+
+def test_fast_spread_matches_exp10_formulation(sines_frame):
+    """TAC_FAST_SPREAD=1 log2-domain spread+sum (psy._spread_sum_fast) vs
+    the production exp10 formulation: same maskers, same slopes, thresholds
+    within 1e-3 dB (the approximation budget is ~2e-7 relative). The knob
+    is a measured perf dead end on the v5e (PERF.md round 4, default off)
+    but stays correct for A/B on other backends."""
+    import os, importlib
+
+    x, fs = sines_frame
+    cfg = CodecConfig(sample_rate=fs, n_channels=1, n_mdct_lines=1024,
+                      precision="fast")
+    c = jpsy.make_consts(cfg)
+    assert c.fft_cos is not None
+
+    # frames 1-2 are silence-heavy (castanet attack + decay tails): they
+    # exercise the invalid-masker lanes whose fm is 0/0=NaN under FTZ —
+    # the fast path must rescue zm (a NaN poisons the whole masker sum)
+    from tools import material
+    cast = material.castanets(fs, 2048 * 3 / fs + 0.05)
+    frames = np.stack([np.asarray(x), cast[:2048], cast[2048:4096]])
+    frames = jnp.asarray(frames, jnp.float32)
+
+    import jax
+    # jit, not bare vmap: the exp2 regression this guards against only
+    # appears after XLA's simplification pipeline runs (see
+    # test_exp2_fast_accuracy). The gate is read at trace time, so set the
+    # env BEFORE tracing this leg (fresh consts object -> fresh trace).
+    os.environ["TAC_FAST_SPREAD"] = "1"
+    try:
+        importlib.reload(jpsy)
+        c1 = jpsy.make_consts(cfg)
+        thr_fast = np.asarray(
+            jax.jit(jax.vmap(lambda f: jpsy.masked_threshold(f, c1)))(frames),
+            np.float64)
+    finally:
+        os.environ.pop("TAC_FAST_SPREAD", None)
+        importlib.reload(jpsy)
+    assert np.isfinite(thr_fast).all()
+
+    c0 = jpsy.make_consts(cfg)
+    thr_ref = np.asarray(
+        jax.jit(jax.vmap(lambda f: jpsy.masked_threshold(f, c0)))(frames),
+        np.float64)
+    db = np.abs(10 * np.log10(thr_fast / np.maximum(thr_ref, 1e-300)))
+    assert db.max() < 1e-3, db.max()

@@ -74,6 +74,29 @@ def test_decode_range_edges():
     np.testing.assert_allclose(got, full[n - 3:], atol=2e-5)
 
 
+def test_seek_compile_count():
+    """50 random-length seeks compile at most log2(F)+1 device programs:
+    decode_range buckets the covered frame count to powers of two (capped
+    at F) so a seek server's jit cache is bounded (api.py docstring)."""
+    from tac import codec
+
+    cfg = FAMILIES["raw"]
+    x = _sig(1)
+    data = api.encode_array(x, cfg)
+    full, _ = api.decode_array(data, precision="fast")
+    n = full.shape[0]
+    f = -(-n // H) + 1
+    base = codec._decode_clip_packed_impl._cache_size()
+    rng = np.random.default_rng(3)
+    for _ in range(50):
+        s0, s1 = sorted(int(v) for v in rng.integers(0, n, 2))
+        s1 = max(s1, s0 + 1)
+        got, _ = api.decode_range(data, s0, s1, precision="fast")
+        np.testing.assert_allclose(got, full[s0:s1], atol=2e-5)
+    grown = codec._decode_clip_packed_impl._cache_size() - base
+    assert grown <= int(np.log2(f)) + 1, grown
+
+
 def test_decode_range_parity_exact():
     """In parity precision the subset decode is bit-exact vs the full
     decode (f64 everywhere, no batch-shape ULP)."""
