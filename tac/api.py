@@ -129,8 +129,13 @@ def frames_to_payload_vbr(vbr, cfg: CodecConfig, h: int,
     band_of_line = bands.band_of_line(cfg.sample_rate, h)
     m_line = alloc[:, band_of_line]                       # [K, H]
 
-    # huffman field pairs for every line; raw rows overwrite below
+    # huffman field pairs for every line (per the row's table set);
+    # raw rows overwrite below
     hvals, hwids = hf.encode_fields(mant, m_line)         # [K, H, 2]
+    rows2 = tid == 2
+    if rows2.any():
+        hv2, hw2 = hf.encode_fields(mant[rows2], m_line[rows2], set_id=2)
+        hvals[rows2], hwids[rows2] = hv2, hw2
     raw_rows = tid == 0
     hvals[raw_rows, :, 0] = mant[raw_rows]
     hwids[raw_rows, :, 0] = m_line[raw_rows]
@@ -188,12 +193,13 @@ def payload_to_frames_vbr(data: bytes, offset: int, n_blocks: int,
         mo = mant_start[raw_rows, None] + (me - m_line[raw_rows])
         mant[raw_rows] = bs.unpack_at(
             bits, mo.ravel(), m_line[raw_rows].ravel()).reshape(-1, h)
-    if np.any(tid == 1):
+    if np.any(tid >= 1):
         from tac import native
         raw = np.frombuffer(data, np.uint8)
-        for i in np.nonzero(tid == 1)[0]:
-            mant[i], _ = native.huffman_decode_lines(raw, int(mant_start[i]),
-                                                     m_line[i])
+        for sid in (1, 2):
+            for i in np.nonzero(tid == sid)[0]:
+                mant[i], _ = native.huffman_decode_lines(
+                    raw, int(mant_start[i]), m_line[i], set_id=sid)
 
     def to_cf(x):
         return jnp.asarray(np.ascontiguousarray(

@@ -293,7 +293,8 @@ def payload_fields_bs_vbr(bc: BsFrameCode, tid, cfg: CodecConfig,
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     code, m_line = select_code_bs(bc, c)
     alloc = codec_mod.ba.code_to_alloc(code.alloc_code)
-    hv, hw = codec_mod.vbr_mantissa_pairs(code.mant, m_line, tid)
+    hv, hw = codec_mod.vbr_mantissa_pairs(code.mant, m_line, tid,
+                                          cfg.huffman_sets)
     ones = jnp.ones_like(code.alloc_code)
     vals = jnp.concatenate([bc.state[..., None], code.ovs[..., None],
                             tid[..., None], code.alloc_code, code.scale,
@@ -341,9 +342,17 @@ def _encode_channel_bs_vbr(frames_1ch, states_1ch, res0, cfg: CodecConfig,
         code_s = codec_mod.quantize_lines(lsn, ssn, cfg, c.cg, base + res)
         bc = BsFrameCode(state=state, long=code_l, short=code_s)
         code, m_line = select_code_bs(bc, c)
-        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
+        # 3-way raw/set1/set2 min, tie order 0 <= 1 <= 2 — identical to
+        # the lane path's _vbr_price/argmin (SPEC §8)
+        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab[0])
         table_id = (huf < raw).astype(jnp.int32)
         used = jnp.minimum(raw, huf).astype(jnp.int32)
+        for si in range(1, len(cost_tab)):
+            _, huf_s = hf.frame_mantissa_costs(code.mant, m_line,
+                                               cost_tab[si])
+            better = huf_s < used
+            table_id = jnp.where(better, si + 1, table_id)
+            used = jnp.minimum(used, huf_s).astype(jnp.int32)
         res2 = jnp.clip(res + base - used, 0, cap)
         return res2, (bc, table_id, res2)
 
@@ -558,7 +567,7 @@ def _encode_bs_vbr_packed_leading(x, cfg: CodecConfig):
         xt = codec_mod.ms_forward(xt)
     frames = fb.frame_signal(xt, cfg.n_mdct_lines)       # [..., C, F, N]
     lead, f = frames.shape[:-2], frames.shape[-2]
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = codec_mod.cost_tables(cfg)
     if cfg.stereo_mode == "ms":
         tfl = transient_flags(xt, cfg)                   # [..., C, Kb]
         tp = tfl.reshape(*tfl.shape[:-2], -1, 2, tfl.shape[-1])
@@ -834,7 +843,7 @@ def _encode_frames_bs_vbr_packed(prior, look, new_halves, t_hist, res0,
     t = jnp.concatenate([t_hist, flags], axis=1)         # [C, m+3]
     states = _stream_states(t, m)
 
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = codec_mod.cost_tables(cfg)
     bc, tids, res_steps = _encode_bs_vbr_lanes(
         frames, states, jnp.asarray(res0, jnp.int32), cfg, c, cost_tab)
     vals, wids = payload_fields_bs_vbr(bc, tids, cfg, c)

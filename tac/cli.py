@@ -95,14 +95,14 @@ def main(argv=None) -> int:
                         "(manifest resume, per-clip quarantine)")
     pc.add_argument("inputs", nargs="+", help="WAV files")
     pc.add_argument("-o", "--out-dir", required=True)
-    pc.add_argument("--batch-size", type=int, default=8)
+    pc.add_argument("--batch-size", type=int, default=None)  # None = per-backend default (tac/tuning.py)
     _add_config_flags(pc)
 
     pcd = sub.add_parser("corpus-decode", help="batch-decode PAC-T → WAVs "
                          "(manifest resume, per-clip quarantine)")
     pcd.add_argument("inputs", nargs="+", help="PAC-T files")
     pcd.add_argument("-o", "--out-dir", required=True)
-    pcd.add_argument("--batch-size", type=int, default=8)
+    pcd.add_argument("--batch-size", type=int, default=None)
     pcd.add_argument("--precision", choices=["parity", "fast"],
                      default="fast")
 

@@ -397,16 +397,22 @@ def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
     return vals, wids
 
 
-def vbr_mantissa_pairs(mant, m_line, tid):
+def vbr_mantissa_pairs(mant, m_line, tid, n_sets: int = 2):
     """Device huffman-or-raw mantissa field pairs (SPEC.md §8).
 
-    mant, m_line: int32[..., H]; tid: int32[...] (0 = raw, 1 = trained
-    tables). Returns (vals, wids) int32[..., 2H]: huffman codeword +
-    escape-raw pairs where tid == 1, a raw m_line-bit field (second field
-    width 0) where tid == 0."""
+    mant, m_line: int32[..., H]; tid: int32[...] (0 = raw, 1/2 = trained
+    sets). Returns (vals, wids) int32[..., 2H]: the chosen set's huffman
+    codeword + escape-raw pairs where tid >= 1, a raw m_line-bit field
+    (second field width 0) where tid == 0. n_sets bounds which set
+    encoders may have picked (static; extra selects vanish at 1)."""
     from tac import huffman as hf
 
     hv, hw = hf.encode_fields_device(mant, m_line)
+    if n_sets >= 2:
+        hv2, hw2 = hf.encode_fields_device(mant, m_line, set_id=2)
+        two = (tid == 2)[..., None, None]
+        hv = jnp.where(two, hv2, hv)
+        hw = jnp.where(two, hw2, hw)
     raw = (tid == 0)[..., None]
     v0 = jnp.where(raw, mant, hv[..., 0])
     w0 = jnp.where(raw, m_line, hw[..., 0])
@@ -426,7 +432,7 @@ def payload_fields_vbr(code: FrameCode, tid, cfg: CodecConfig,
     s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
     alloc = ba.code_to_alloc(code.alloc_code)
     m_line = alloc[..., c.band_of_line].astype(jnp.int32)
-    hv, hw = vbr_mantissa_pairs(code.mant, m_line, tid)
+    hv, hw = vbr_mantissa_pairs(code.mant, m_line, tid, cfg.huffman_sets)
     ones = jnp.ones_like(code.alloc_code)
     vals = jnp.concatenate([code.ovs[..., None], tid[..., None],
                             code.alloc_code, code.scale, hv], axis=-1)
@@ -542,7 +548,7 @@ def _encode_frames_vbr_packed(prior, halves, res0, cfg: CodecConfig):
     from tac.ops.bitpack import pack_rows
 
     c = make_consts(cfg)
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = cost_tables(cfg)
     frames = _frames_from_halves(prior, halves, c.dtype)
     codes, tids, _, res_steps = _encode_vbr_lanes(
         frames, jnp.asarray(res0, jnp.int32), cfg, c, cost_tab)
@@ -685,17 +691,17 @@ def _read_bits_at(words, pos, width):
         .astype(jnp.int32)
 
 
-def _packed_dec_luts():
-    """Packed per-table decode LUTs (len << 16 | symbol) + escape symbols,
-    built once per process (VERDICT r2 weak item 6: this was re-run
-    host-side at every (shape, cfg) trace)."""
-    from functools import lru_cache
+_PACKED_DEC_LUTS_CACHE: dict = {}
 
+
+def _packed_dec_luts(set_id: int = 1):
+    """Packed per-table decode LUTs (len << 16 | symbol) + escape symbols,
+    built once per (process, table set) (VERDICT r2 weak item 6: this was
+    re-run host-side at every (shape, cfg) trace)."""
     from tac import huffman as hf
 
-    @lru_cache(maxsize=1)
-    def build():
-        luts = hf._dec_luts()
+    if set_id not in _PACKED_DEC_LUTS_CACHE:
+        luts = hf._dec_luts(set_id)
         lmax = max(v[2] for v in luts.values())
         n_tab = hf.MAX_M - hf.MIN_M + 1
         pak_t = np.zeros((n_tab, 1 << lmax), np.int32)
@@ -705,12 +711,11 @@ def _packed_dec_luts():
             reps = 1 << (lmax - l)
             pak_t[m - hf.MIN_M] = np.repeat((len_lut << 16) | sym_lut, reps)
             escs[m - hf.MIN_M] = esc
-        return pak_t, escs, lmax
+        _PACKED_DEC_LUTS_CACHE[set_id] = (pak_t, escs, lmax)
+    return _PACKED_DEC_LUTS_CACHE[set_id]
 
-    return build()
 
-
-def _huffman_decode_scan(words, mant_start, m_line):
+def _huffman_decode_scan(words, mant_start, m_line, set_id: int = 1):
     """Device canonical-Huffman mantissa decode (SPEC.md §8 decode walk).
 
     words: uint32[K, W32]; mant_start: int32[K] absolute bit offset of the
@@ -721,7 +726,7 @@ def _huffman_decode_scan(words, mant_start, m_line):
     """
     from tac import huffman as hf
 
-    pak_np, escs_np, lmax = _packed_dec_luts()
+    pak_np, escs_np, lmax = _packed_dec_luts(set_id)
     # one PACKED lut (len << 16 | symbol): the per-step [K]-lane random
     # gather is the scan's bottleneck, so halve the gather count
     n_tab = hf.MAX_M - hf.MIN_M + 1
@@ -784,36 +789,44 @@ def _unpack_vbr_fields(wf, cfg: CodecConfig, c: CodecConsts) -> FrameCode:
 
 
 def _huffman_or_raw(wf, mant_start, m_line, tid, mant_raw):
-    """Select huffman-decoded or raw mantissas per row; the decode walk
-    runs only if the chunk HAS huffman rows (lax.cond — real branch at
-    this top-level trace, so all-raw streams never pay it; VERDICT r2
-    item 3). On TPU the walk is the LUT-free Pallas kernel
+    """Select huffman-decoded or raw mantissas per row; each table set's
+    decode walk runs only if the chunk HAS rows with that tid (nested
+    lax.cond — real branches at this top-level trace, so all-raw streams
+    never pay a walk and single-set streams pay one; VERDICT r2 item 3).
+    On TPU each walk is the LUT-free Pallas kernel
     (tac/ops/pallas_huffdec.py, rows across the vector tile); elsewhere
     (or TAC_PALLAS_HUFFDEC=0, or H not lane-aligned, or retrained
     non-canonical tables) the lax.scan LUT walk."""
     import os
 
-    decode = _huffman_decode_scan
-    try:
-        on_tpu = jax.default_backend() == "tpu"
-    except Exception:
-        on_tpu = False
-    if on_tpu and os.environ.get("TAC_PALLAS_HUFFDEC") != "0" \
-            and m_line.shape[-1] % 128 == 0:
-        try:
-            from tac.ops.pallas_huffdec import (_canon_consts,
-                                                huffman_decode_rows)
+    from tac import huffman as hf
 
-            _canon_consts()                 # raises on non-canonical tables
-            decode = huffman_decode_rows
-        except ValueError:
-            pass
-    return jax.lax.cond(
-        jnp.any(tid == 1),
-        lambda: jnp.where((tid == 1)[:, None],
-                          decode(wf, mant_start, m_line),
-                          mant_raw),
-        lambda: mant_raw)
+    def decoder_for(set_id: int):
+        try:
+            on_tpu = jax.default_backend() == "tpu"
+        except Exception:
+            on_tpu = False
+        if on_tpu and os.environ.get("TAC_PALLAS_HUFFDEC") != "0" \
+                and m_line.shape[-1] % 128 == 0:
+            try:
+                from tac.ops.pallas_huffdec import (_canon_consts,
+                                                    huffman_decode_rows)
+
+                _canon_consts(set_id)       # raises on non-canonical tables
+                return lambda *a: huffman_decode_rows(*a, set_id=set_id)
+            except ValueError:
+                pass
+        return lambda *a: _huffman_decode_scan(*a, set_id=set_id)
+
+    out = mant_raw
+    for sid in range(1, hf.n_sets() + 1):
+        dec = decoder_for(sid)
+        out = jax.lax.cond(
+            jnp.any(tid == sid),
+            lambda out=out, dec=dec, sid=sid: jnp.where(
+                (tid == sid)[:, None], dec(wf, mant_start, m_line), out),
+            lambda out=out: out)
+    return out
 
 
 @partial(jax.jit, static_argnums=(1, 2))
@@ -874,8 +887,17 @@ def _decode_frames_stream(words, tail, m, cfg: CodecConfig):
 class VbrCode(NamedTuple):
     """FrameCode + per-frame entropy-coding decisions (SPEC.md §8)."""
     code: FrameCode
-    table_id: jnp.ndarray    # [C, F] int32: 0 = raw, 1 = trained tables
+    table_id: jnp.ndarray    # [C, F] int32: 0 = raw, 1/2 = trained sets
     used_bits: jnp.ndarray   # [C, F] int32 mantissa payload bits actually used
+
+
+def cost_tables(cfg: CodecConfig):
+    """Per-set device cost tables the encoder prices with (SPEC.md §8):
+    a tuple of [7, 256] int32, one per trained set in cfg.huffman_sets."""
+    from tac import huffman as hf
+
+    return tuple(hf.cost_table_jnp(sid)
+                 for sid in range(1, cfg.huffman_sets + 1))
 
 
 def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
@@ -905,9 +927,17 @@ def _encode_channel_vbr(frames_1ch, res0, cfg: CodecConfig, c: CodecConsts,
         ln, sm = xs
         code = quantize_lines(ln, sm, cfg, c, budget=base + res)
         m_line = ba.code_to_alloc(code.alloc_code)[c.band_of_line]
-        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab)
+        # 3-way raw/set1/set2 min, tie order 0 <= 1 <= 2 — identical to
+        # the lane path's _vbr_price/argmin (SPEC §8)
+        raw, huf = hf.frame_mantissa_costs(code.mant, m_line, cost_tab[0])
         table_id = (huf < raw).astype(jnp.int32)
         used = jnp.minimum(raw, huf).astype(jnp.int32)
+        for si in range(1, len(cost_tab)):
+            _, huf_s = hf.frame_mantissa_costs(code.mant, m_line,
+                                               cost_tab[si])
+            better = huf_s < used
+            table_id = jnp.where(better, si + 1, table_id)
+            used = jnp.minimum(used, huf_s).astype(jnp.int32)
         res2 = jnp.clip(res + base - used, 0, cap)
         return res2, (code, table_id, used, res2)
 
@@ -957,10 +987,13 @@ def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
     allocation with a 7-way select over [B] bands (_vbr_price) instead of
     quantizing + gathering over [H] lines per step.
 
-    lines f[R, H] → (bits_huf int32[R, B, 7] — coded band cost at m=2..8,
-    with cost = m·n_lines for non-codable m handled in _vbr_price).
-    Symbol cost lookups are select-sums over the ≤2^m static table
-    entries, not gathers (the TPU gather lesson, PERF.md).
+    lines f[R, H] → (bits_huf int32[R, B, 7·S] — coded band cost at
+    m = 2..8 for each of the S = cfg.huffman_sets trained table sets
+    (set s occupies columns [7(s-1), 7s)); cost = m·n_lines for
+    non-codable m handled in _vbr_price). Symbol cost lookups are
+    select-sums over the ≤2^m static table entries, not gathers (the TPU
+    gather lesson, PERF.md). The quantized candidate mantissas are shared
+    across sets — only the cost rows differ.
     """
     from tac import huffman as hf
 
@@ -972,34 +1005,45 @@ def _vbr_band_costs(lines, cfg: CodecConfig, c: CodecConsts):
     band_max = _band_max(jnp.abs(scaled), c, 0.0)
     band_max = jnp.where(c.n_lines > 0, band_max, 0.0)      # [R, B]
 
-    cost_np = hf.cost_table_np()                            # [7, 256]
-    outs = []
+    cost_nps = [hf.cost_table_np(sid)                       # S x [7, 256]
+                for sid in range(1, cfg.huffman_sets + 1)]
+    outs = [[] for _ in cost_nps]
     for m in range(hf.MIN_M, hf.MAX_M + 1):
         sf_m = quant.scale_factor(band_max, s, m)           # [R, B]
         mant_m = quant.mantissa(scaled, sf_m[:, c.band_of_line], s, m)
-        # run-decomposed row: ~4x fewer fused elementwise passes than the
-        # per-symbol select chain (127 runs vs 508 symbols, PERF.md)
-        c0, runs = hf.run_decompose(cost_np[m - hf.MIN_M][: 1 << m])
-        cost = hf._apply_runs(mant_m, c0, runs)
-        outs.append(_band_sum(cost, c))   # int32: slice-sum is exact
-    return jnp.stack(outs, axis=-1)                         # [R, B, 7]
+        for si, cost_np in enumerate(cost_nps):
+            # run-decomposed row: ~4x fewer fused elementwise passes than
+            # the per-symbol select chain (127 runs vs 508 symbols, PERF.md)
+            c0, runs = hf.run_decompose(cost_np[m - hf.MIN_M][: 1 << m])
+            cost = hf._apply_runs(mant_m, c0, runs)
+            outs[si].append(_band_sum(cost, c))  # int32: slice-sum exact
+    return jnp.concatenate(
+        [jnp.stack(o, axis=-1) for o in outs], axis=-1)     # [R, B, 7S]
 
 
 def _vbr_price(alloc, bits_huf, n_lines):
-    """alloc int32[L, B], bits_huf int32[L, B, 7], n_lines int32[B] or
-    [L, B] → (raw, huf) int32[L].
+    """alloc int32[L, B], bits_huf int32[L, B, 7·S], n_lines int32[B] or
+    [L, B] → (raw int32[L], hufs int32[L, S]) — one coded total per
+    trained table set.
 
     Integer-identical to huffman.frame_mantissa_costs on the mantissas
     quantize_given_alloc would emit at `alloc` (asserted via the byte-
-    parity suite): raw = Σ_b alloc·n_lines; huf swaps in the precomputed
-    coded band cost for codable allocations."""
+    parity suite): raw = Σ_b alloc·n_lines; each set swaps in its
+    precomputed coded band cost for codable allocations."""
     from tac import huffman as hf
 
+    n_tab = hf.MAX_M - hf.MIN_M + 1
+    n_sets = bits_huf.shape[-1] // n_tab
     raw_b = alloc * n_lines                                 # [L, B]
-    huf_b = raw_b                                           # non-codable: raw
-    for m in range(hf.MIN_M, hf.MAX_M + 1):
-        huf_b = jnp.where(alloc == m, bits_huf[..., m - hf.MIN_M], huf_b)
-    return jnp.sum(raw_b, -1), jnp.sum(huf_b, -1)
+    hufs = []
+    for si in range(n_sets):
+        huf_b = raw_b                                       # non-codable: raw
+        for m in range(hf.MIN_M, hf.MAX_M + 1):
+            huf_b = jnp.where(alloc == m,
+                              bits_huf[..., si * n_tab + m - hf.MIN_M],
+                              huf_b)
+        hufs.append(jnp.sum(huf_b, -1))
+    return jnp.sum(raw_b, -1), jnp.stack(hufs, -1)
 
 
 def _map_row_chunks(fn, arrs, r: int, chunk: Optional[int] = None):
@@ -1162,11 +1206,15 @@ def _reservoir_chain(smr, bits_huf, n_lines, res0, base: int, cap: int,
     per_frame_nl = n_lines.ndim == 3
 
     def step(res, xs):
-        sm, bh, nl = xs                             # [L, B], [L, B, 7], [L?, B]
+        sm, bh, nl = xs                            # [L, B], [L, B, 7S], [L?, B]
         alloc = _alloc_rows(sm, base_t + res, cfg, nl)
-        raw, huf = _vbr_price(alloc, bh, nl)
-        tid = (huf < raw).astype(jnp.int32)
-        used = jnp.minimum(raw, huf).astype(jnp.int32)
+        raw, hufs = _vbr_price(alloc, bh, nl)
+        # 3-way (or 2-way) min with tie order raw <= set1 <= set2: argmin
+        # takes the FIRST minimum, and raw wins non-strict ties (SPEC §8)
+        best_h = jnp.min(hufs, axis=-1)
+        tid_h = jnp.argmin(hufs, axis=-1).astype(jnp.int32) + 1
+        tid = jnp.where(best_h < raw, tid_h, 0)
+        used = jnp.minimum(raw, best_h).astype(jnp.int32)
         res2 = jnp.clip(res + base_t - used, 0, cap_t)
         return res2, (alloc, tid, used, res2)
 
@@ -1187,7 +1235,7 @@ def _encode_clip_vbr_impl(x, cfg: CodecConfig) -> VbrCode:
     from tac import huffman as hf
 
     c = make_consts(cfg)
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = cost_tables(cfg)
     frames = fb.frame_signal(x.astype(c.dtype), cfg.n_mdct_lines)  # [C, F, N]
     codes, tids, used, _ = _encode_vbr_lanes(frames, 0, cfg, c, cost_tab)
     return VbrCode(code=codes, table_id=tids, used_bits=used)
@@ -1214,7 +1262,7 @@ def _encode_vbr_packed_leading(x, cfg: CodecConfig):
     from tac import huffman as hf
 
     c = make_consts(cfg)
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = cost_tables(cfg)
     xt = x.astype(c.dtype)
     if cfg.stereo_mode == "ms":
         xt = ms_forward(xt)

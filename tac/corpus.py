@@ -73,13 +73,19 @@ class CorpusTranscoder:
     """Drives WAV→PAC-T transcoding over a corpus with resume + quarantine."""
 
     def __init__(self, cfg: CodecConfig, out_dir: str,
-                 manifest: Optional[str] = None, batch_size: int = 8,
+                 manifest: Optional[str] = None,
+                 batch_size: Optional[int] = None,
                  retries: int = 1, io_threads: int = 4, mesh=None):
+        from tac import tuning
+
         self.cfg = cfg
         self.out_dir = out_dir
         self.manifest_path = manifest or os.path.join(out_dir,
                                                       "manifest.jsonl")
-        self.batch_size = batch_size
+        # None → per-backend default: the measured VBR lane-batch knee
+        # (32) on healthy TPU attach, 8 on link-bound/CPU backends
+        # (tuning.corpus_batch_default, PERF.md round-4 ladder)
+        self.batch_size = batch_size or tuning.corpus_batch_default()
         self.retries = retries
         self.io_threads = io_threads
         self.mesh = mesh          # multi-chip: shard clips over this mesh
@@ -227,12 +233,14 @@ class CorpusDecoder:
     FRAME_BUCKET = 32
 
     def __init__(self, out_dir: str, manifest: Optional[str] = None,
-                 batch_size: int = 8, retries: int = 1, io_threads: int = 4,
-                 mesh=None, precision: str = "fast"):
+                 batch_size: Optional[int] = None, retries: int = 1,
+                 io_threads: int = 4, mesh=None, precision: str = "fast"):
+        from tac import tuning
+
         self.out_dir = out_dir
         self.manifest_path = manifest or os.path.join(out_dir,
                                                       "decode_manifest.jsonl")
-        self.batch_size = batch_size
+        self.batch_size = batch_size or tuning.corpus_batch_default()
         self.retries = retries
         self.io_threads = io_threads
         self.mesh = mesh

@@ -7,10 +7,15 @@ table gathers inside the jitted encode scan; the *serialization* side
 vectorized with numpy where offsets are static and a small LUT walk where
 they are data-dependent.
 
-Tables: canonical, trained offline by tools/train_huffman.py, committed as
-tac/huffman_tables.json. Symbols = raw m-bit mantissa codes + ESCAPE
-(= 2^m); escape emits the raw m bits after its codeword. tableId: 0 = raw,
-1 = trained set (2 bits per block per channel).
+Tables: canonical, trained offline by tools/train_huffman.py. TWO trained
+sets live in the 2-bit tableId space (SPEC.md §8): set 1
+(tac/huffman_tables.json, general/tonal statistics) and set 2
+(tac/huffman_tables_t.json, transient/short-block statistics — the
+reserved tid value put to work, VERDICT r3 item 5). Symbols = raw m-bit
+mantissa codes + ESCAPE (= 2^m); escape emits the raw m bits after its
+codeword. tableId per block per channel: 0 = raw, 1/2 = trained sets,
+3 = reserved. Every table accessor below takes `set_id` (default 1, the
+round-1..3 behavior).
 """
 
 from __future__ import annotations
@@ -23,13 +28,21 @@ import numpy as np
 import jax.numpy as jnp
 
 MIN_M, MAX_M = 2, 8          # Huffman-codable mantissa sizes
-TABLES_PATH = os.path.join(os.path.dirname(__file__), "huffman_tables.json")
+_DIR = os.path.dirname(__file__)
+TABLES_PATH = os.path.join(_DIR, "huffman_tables.json")
+SET_PATHS = {1: TABLES_PATH,
+             2: os.path.join(_DIR, "huffman_tables_t.json")}
 
 
-@lru_cache(maxsize=1)
-def load_tables() -> dict[int, dict[str, np.ndarray]]:
+def n_sets() -> int:
+    """Trained table sets available on disk (set 2 is optional)."""
+    return 2 if os.path.exists(SET_PATHS[2]) else 1
+
+
+@lru_cache(maxsize=4)
+def load_tables(set_id: int = 1) -> dict[int, dict[str, np.ndarray]]:
     """{m: {lengths[2^m + 1], codes[2^m + 1]}} (last symbol = ESCAPE)."""
-    with open(TABLES_PATH) as f:
+    with open(SET_PATHS[set_id]) as f:
         raw = json.load(f)
     out = {}
     for m_str, t in raw.items():
@@ -39,11 +52,11 @@ def load_tables() -> dict[int, dict[str, np.ndarray]]:
     return out
 
 
-@lru_cache(maxsize=1)
-def cost_table_np() -> np.ndarray:
+@lru_cache(maxsize=4)
+def cost_table_np(set_id: int = 1) -> np.ndarray:
     """int32[MAX_M - 1, 2^MAX_M]: effective coded bits of symbol s at
     mantissa size m (row m - MIN_M). Escaped symbols cost esc_len + m."""
-    tabs = load_tables()
+    tabs = load_tables(set_id)
     out = np.zeros((MAX_M - MIN_M + 1, 2 ** MAX_M), np.int32)
     for m in range(MIN_M, MAX_M + 1):
         lens = tabs[m]["lengths"]
@@ -53,8 +66,8 @@ def cost_table_np() -> np.ndarray:
     return out
 
 
-def cost_table_jnp() -> jnp.ndarray:
-    return jnp.asarray(cost_table_np())
+def cost_table_jnp(set_id: int = 1) -> jnp.ndarray:
+    return jnp.asarray(cost_table_np(set_id))
 
 
 def run_decompose(row: np.ndarray):
@@ -96,11 +109,11 @@ def frame_mantissa_costs(mant, m_line, cost_tab):
 
 # ------------------------------------------------------- host: encoding ----
 
-@lru_cache(maxsize=1)
-def _enc_arrays():
+@lru_cache(maxsize=4)
+def _enc_arrays(set_id: int = 1):
     """Per-m encode arrays padded to [MAX_M+1 rows, 2^MAX_M cols]:
     (code, len, escaped?). Row index = m (0/1 rows unused)."""
-    tabs = load_tables()
+    tabs = load_tables(set_id)
     codes = np.zeros((MAX_M + 1, 2 ** MAX_M), np.int64)
     lens = np.zeros((MAX_M + 1, 2 ** MAX_M), np.int64)
     escaped = np.zeros((MAX_M + 1, 2 ** MAX_M), bool)
@@ -115,14 +128,14 @@ def _enc_arrays():
     return codes, lens, escaped
 
 
-def encode_fields(mant: np.ndarray, m_line: np.ndarray):
+def encode_fields(mant: np.ndarray, m_line: np.ndarray, set_id: int = 1):
     """Huffman-coded field pairs for one or more frames' mantissas.
 
     mant, m_line: int[..., H] → (vals, wids) of shape [..., H, 2]: per line
     a codeword field and an escape-raw field (width 0 when not escaped or
     m outside [2, 8] — then the codeword field IS the raw mantissa).
     """
-    codes, lens, escaped = _enc_arrays()
+    codes, lens, escaped = _enc_arrays(set_id)
     m = np.clip(m_line, 0, MAX_M)
     codable = (m_line >= MIN_M) & (m_line <= MAX_M)
     sym = np.clip(mant, 0, 2 ** MAX_M - 1)
@@ -134,14 +147,14 @@ def encode_fields(mant: np.ndarray, m_line: np.ndarray):
     return vals, wids
 
 
-@lru_cache(maxsize=1)
-def _enc_runs():
+@lru_cache(maxsize=4)
+def _enc_runs(set_id: int = 1):
     """Per-m run decompositions of the encode rows (see run_decompose):
     {m: (cl_c0, cl_runs, d_c0, d_runs, esc_c0, esc_runs)} where
     d[s] = code[s] - s — constant within every equal-length CODED run
     (canonical codes of same-length adjacent symbols differ by exactly 1),
     so the codeword lookup is a compare-accumulate chain too."""
-    codes, lens, escaped = _enc_arrays()
+    codes, lens, escaped = _enc_arrays(set_id)
     out = {}
     for m in range(MIN_M, MAX_M + 1):
         n = 1 << m
@@ -152,7 +165,7 @@ def _enc_runs():
     return out
 
 
-def encode_fields_device(mant, m_line):
+def encode_fields_device(mant, m_line, set_id: int = 1):
     """Device mirror of encode_fields (jit/vmap-safe, gather-free).
 
     mant, m_line: int32[..., H] → (vals, wids) int32[..., H, 2]: per line a
@@ -165,7 +178,7 @@ def encode_fields_device(mant, m_line):
     total instead of two [K, H] TPU gathers into [9, 256] tables
     (integer-identical; tests/test_huffman.py asserts vs encode_fields).
     """
-    runs = _enc_runs()
+    runs = _enc_runs(set_id)
     m_line = jnp.asarray(m_line, jnp.int32)
     mant = jnp.asarray(mant, jnp.int32)
     cw = mant
@@ -185,10 +198,10 @@ def encode_fields_device(mant, m_line):
 
 # ------------------------------------------------------- host: decoding ----
 
-@lru_cache(maxsize=1)
-def _dec_luts():
+@lru_cache(maxsize=4)
+def _dec_luts(set_id: int = 1):
     """Per-m peek LUTs: (lut_sym[2^L], lut_len[2^L], L, escape_symbol)."""
-    tabs = load_tables()
+    tabs = load_tables(set_id)
     luts = {}
     for m in range(MIN_M, MAX_M + 1):
         t = tabs[m]
@@ -207,8 +220,8 @@ def _dec_luts():
     return luts
 
 
-def decode_lines(bits: np.ndarray, start: int, m_per_line: np.ndarray
-                 ) -> tuple[np.ndarray, int]:
+def decode_lines(bits: np.ndarray, start: int, m_per_line: np.ndarray,
+                 set_id: int = 1) -> tuple[np.ndarray, int]:
     """Sequential canonical decode of one block's mantissa run.
 
     bits: uint8[*] unpacked bit array; start: absolute bit offset;
@@ -220,7 +233,7 @@ def decode_lines(bits: np.ndarray, start: int, m_per_line: np.ndarray
     """
     from tac.native import CorruptStreamError
 
-    luts = _dec_luts()
+    luts = _dec_luts(set_id)
     out = np.zeros(len(m_per_line), np.int64)
     pos = start
     total = len(bits)

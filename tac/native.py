@@ -83,12 +83,12 @@ def unpack_fields(data: np.ndarray, bit_offset: int,
     return out
 
 
-@lru_cache(maxsize=1)
-def _huffman_luts_packed():
+@lru_cache(maxsize=4)
+def _huffman_luts_packed(set_id: int = 1):
     """Concatenate the per-m peek LUTs into flat arrays for the C call."""
     from tac import huffman as hf
 
-    luts = hf._dec_luts()
+    luts = hf._dec_luts(set_id)
     syms, lens, offs, bits, escs = [], [], [], [], []
     off = 0
     for m in range(hf.MIN_M, hf.MAX_M + 1):
@@ -107,17 +107,20 @@ def _huffman_luts_packed():
 
 
 def huffman_decode_lines(data_bytes: np.ndarray, start_bit: int,
-                         m_per_line: np.ndarray) -> tuple[np.ndarray, int]:
+                         m_per_line: np.ndarray, set_id: int = 1
+                         ) -> tuple[np.ndarray, int]:
     """Native canonical-Huffman mantissa decode (SPEC.md §8).
 
-    data_bytes: uint8 byte buffer; returns (mant[h], end_bit).
+    data_bytes: uint8 byte buffer; returns (mant[h], end_bit). set_id
+    picks the trained table set (the C walk is table-agnostic — the LUTs
+    are call arguments).
     """
     lib = _lib()
     if lib is None:
         from tac import huffman as hf
         bits = np.unpackbits(np.ascontiguousarray(data_bytes, np.uint8))
-        return hf.decode_lines(bits, start_bit, m_per_line)
-    sym, lens, offs, bits_, escs = _huffman_luts_packed()
+        return hf.decode_lines(bits, start_bit, m_per_line, set_id)
+    sym, lens, offs, bits_, escs = _huffman_luts_packed(set_id)
     m = np.ascontiguousarray(m_per_line, np.int32)
     out = np.empty(len(m), np.int64)
     data = np.ascontiguousarray(data_bytes, np.uint8)

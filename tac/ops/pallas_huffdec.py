@@ -45,9 +45,9 @@ ROWS_SUB, ROWS_LANE = 8, 128          # rows per grid step = 8 * 128
 HB = 128                              # lines per grid step
 
 
-@functools.lru_cache(maxsize=1)
-def _canon_consts():
-    """Static decode constants from the trained tables.
+@functools.lru_cache(maxsize=4)
+def _canon_consts(set_id: int = 1):
+    """Static decode constants from the trained tables (per table set).
 
     Returns (pairs, perm_runs, escs) where
       pairs: [(m, l, first, last, base)] — codes of length l in table m
@@ -58,7 +58,7 @@ def _canon_consts():
     Raises ValueError if a table is not canonical-contiguous (the caller
     falls back to the XLA LUT scan).
     """
-    tabs = hf.load_tables()
+    tabs = hf.load_tables(set_id)
     pairs, perm_runs, escs = [], {}, {}
     for m in range(hf.MIN_M, hf.MAX_M + 1):
         lens, codes = tabs[m]["lengths"], tabs[m]["codes"]
@@ -86,8 +86,9 @@ def _canon_consts():
     return pairs, perm_runs, escs
 
 
-def _kernel(wordsT_ref, mstart_ref, m_ref, out_ref, pos_scr, *, w32: int):
-    pairs, perm_runs, escs = _canon_consts()
+def _kernel(wordsT_ref, mstart_ref, m_ref, out_ref, pos_scr, *, w32: int,
+            set_id: int = 1):
+    pairs, perm_runs, escs = _canon_consts(set_id)
     hb = pl.program_id(1)
 
     @pl.when(hb == 0)
@@ -144,13 +145,15 @@ def _kernel(wordsT_ref, mstart_ref, m_ref, out_ref, pos_scr, *, w32: int):
     pos_scr[:] = jax.lax.fori_loop(0, m_ref.shape[1], step, pos_scr[:])
 
 
-@functools.partial(jax.jit, static_argnames=("interpret",))
-def huffman_decode_rows(words, mant_start, m_line, *, interpret=False):
+@functools.partial(jax.jit, static_argnames=("interpret", "set_id"))
+def huffman_decode_rows(words, mant_start, m_line, *, interpret=False,
+                        set_id: int = 1):
     """Device canonical-Huffman decode of all rows' mantissa runs.
 
     words: uint32[K, W32]; mant_start: int32[K]; m_line: int32[K, H].
     Returns int32[K, H] — line-exact vs codec._huffman_decode_scan on
     valid streams. H must be a multiple of 128 (all long-block configs).
+    set_id picks the trained table set (SPEC.md §8 tableId 1/2).
     """
     k, w32 = words.shape
     h = m_line.shape[1]
@@ -170,7 +173,7 @@ def huffman_decode_rows(words, mant_start, m_line, *, interpret=False):
     sT = sp.reshape(g, ROWS_SUB, ROWS_LANE)
 
     out = pl.pallas_call(
-        functools.partial(_kernel, w32=w32),
+        functools.partial(_kernel, w32=w32, set_id=set_id),
         out_shape=jax.ShapeDtypeStruct((g, h, ROWS_SUB, ROWS_LANE),
                                        jnp.int32),
         grid=(g, h // hb),

@@ -47,7 +47,7 @@ def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                  alloc_ref, tid_ref, used_ref, res_ref, res_scr, *,
                  base: int, cap: int, max_mant: int, nb: int,
                  g: int, f: int, nl_per_frame: bool, unroll: int,
-                 ws_rounds: int, ws_bisect: int):
+                 ws_rounds: int, ws_bisect: int, n_sets: int):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -75,20 +75,32 @@ def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                                     unroll=unroll)
 
             # pricing: integer-identical to codec._vbr_price (raw =
-            # Σ alloc·n_lines; huffman swaps in the precomputed coded
-            # band cost at codable allocs)
+            # Σ alloc·n_lines; each trained set swaps in its precomputed
+            # coded band cost at codable allocs), then the 3-way min with
+            # tie order raw <= set1 <= set2 (SPEC §8)
             raw_b = alloc * nl                       # [Lp, 128]
             # disjoint conditions (alloc == m): the select chain is a sum
             # of deltas, tree-reduced for log depth (integer-exact)
             from tac.ops.pallas_alloc import _tree_sum
-            huf_b = raw_b + _tree_sum(
-                [jnp.where(alloc == m, bh_ref[gg, m - MIN_M] - raw_b, 0)
-                 for m in range(MIN_M, MAX_M + 1)])
             raw = jnp.sum(raw_b, axis=1, keepdims=True,
                           dtype=jnp.int32)           # [Lp, 1]
-            huf = jnp.sum(huf_b, axis=1, keepdims=True, dtype=jnp.int32)
-            tid = (huf < raw).astype(jnp.int32)
-            used = jnp.minimum(raw, huf)
+            hufs = []
+            for si in range(n_sets):
+                huf_b = raw_b + _tree_sum(
+                    [jnp.where(alloc == m,
+                               bh_ref[gg, si * N_TAB + m - MIN_M] - raw_b,
+                               0)
+                     for m in range(MIN_M, MAX_M + 1)])
+                hufs.append(jnp.sum(huf_b, axis=1, keepdims=True,
+                                    dtype=jnp.int32))
+            best_h = hufs[0]
+            tid_h = jnp.full_like(best_h, 1)
+            for si in range(1, n_sets):
+                beat = hufs[si] < best_h             # strict: first-min ties
+                tid_h = jnp.where(beat, si + 1, tid_h)
+                best_h = jnp.minimum(best_h, hufs[si])
+            tid = jnp.where(best_h < raw, tid_h, 0)
+            used = jnp.minimum(raw, best_h)
             res2 = jnp.clip(res + base - used, 0, cap).astype(jnp.int32)
 
             alloc_ref[gg] = alloc
@@ -106,7 +118,8 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     """Run the whole bit-reservoir chain on-chip.
 
     smr_q:    f32[F, L, B] grid-snapped SMRs, frame-major (scan order)
-    bits_huf: i32[F, L, B, 7] coded band cost at candidate m = 2..8
+    bits_huf: i32[F, L, B, 7·S] coded band cost at candidate m = 2..8 per
+              trained table set (S = 1 or 2; tid = 0/1/2 via the 3-way min)
     n_lines:  i32[B] shared (flat VBR) or i32[F, L, B] per-frame (combo)
     res0:     i32[L] starting reservoir fills (streaming resume)
     base/cap: python ints — per-frame budget and reservoir cap
@@ -120,6 +133,8 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     f, l, b = smr_q.shape
     if b > LANES:
         raise ValueError(f"vbr_reservoir_scan supports <= {LANES} bands")
+    n_sets = bits_huf.shape[-1] // N_TAB
+    n_tab_t = n_sets * N_TAB
     lp = max(8, -(-l // 8) * 8)
     # frames per grid step: measured NEUTRAL on this box (within-process
     # interleaved A/B, G in {1,2,4,8}: 137-148 ms medians on a 2585-step
@@ -152,7 +167,7 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
         nl_p = jnp.zeros((fp, lp, LANES), jnp.int32) \
             .at[:f, :l, :b].set(n_lines)
         nl_map = lambda i: (i, 0, 0)
-    bh_p = jnp.zeros((fp, N_TAB, lp, LANES), jnp.int32) \
+    bh_p = jnp.zeros((fp, n_tab_t, lp, LANES), jnp.int32) \
         .at[:f, :, :l, :b].set(jnp.moveaxis(bits_huf, -1, 1))
     res0_p = jnp.zeros((lp, 1), jnp.int32).at[:l, 0].set(
         res0.astype(jnp.int32))
@@ -161,7 +176,8 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
         functools.partial(_scan_kernel, base=int(base), cap=int(cap),
                           max_mant=max_mant, nb=b, g=g, f=f,
                           nl_per_frame=nl_per_frame, unroll=unroll,
-                          ws_rounds=ws_rounds, ws_bisect=ws_bisect),
+                          ws_rounds=ws_rounds, ws_bisect=ws_bisect,
+                          n_sets=n_sets),
         out_shape=(
             jax.ShapeDtypeStruct((fp, lp, LANES), jnp.int32),
             jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),
@@ -174,7 +190,7 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(((g if nl_per_frame else 1), lp, LANES), nl_map,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((g, N_TAB, lp, LANES), lambda i: (i, 0, 0, 0),
+            pl.BlockSpec((g, n_tab_t, lp, LANES), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((lp, 1), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),

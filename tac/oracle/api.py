@@ -118,17 +118,19 @@ def encode_array(x: np.ndarray, cfg: CodecConfig) -> bytes:
             for p in range(n_pairs):
                 st = int(states[p][i])
                 if cfg.use_huffman:
+                    from tac.oracle.pacfile import pick_tid
                     tuples, bol = obs.encode_block_bs_ms(
                         fulls[2 * p], fulls[2 * p + 1], st, cfg,
                         base2 + res[p])
-                    raw = huf = 0
+                    raw = 0
+                    hufs = [0] * cfg.huffman_sets
                     for _, alloc, _, mant in tuples:
-                        r_, h_ = obs._grouped_costs(alloc, mant, bol)
+                        r_, h_ = obs._grouped_costs(alloc, mant, bol,
+                                                    cfg.huffman_sets)
                         raw += r_
-                        huf += h_
-                    tid = 1 if huf < raw else 0
-                    res[p] = min(max(res[p] + base2 - min(raw, huf), 0),
-                                 cap2)
+                        hufs = [x + y for x, y in zip(hufs, h_)]
+                    tid, used = pick_tid(raw, hufs)
+                    res[p] = min(max(res[p] + base2 - used, 0), cap2)
                 else:
                     tuples, bol = obs.encode_block_bs_ms(
                         fulls[2 * p], fulls[2 * p + 1], st, cfg, base2)

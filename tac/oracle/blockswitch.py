@@ -127,13 +127,13 @@ def _write_grouped(pb: PackedBits, ovs, alloc, scale, mant,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
-    tabs = hf.load_tables() if table_id == 1 else None
+    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
     for i in range(len(mant)):
         m = int(alloc[bol[i]])
         if m <= 0:
             continue
         q = int(mant[i])
-        if table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+        if table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
             t = tabs[m]
             if t["lengths"][q] > 0:
                 pb.WriteBits(int(t["codes"][q]), int(t["lengths"][q]))
@@ -144,22 +144,27 @@ def _write_grouped(pb: PackedBits, ovs, alloc, scale, mant,
             pb.WriteBits(q, m)
 
 
-def _grouped_costs(alloc, mant, bol: np.ndarray) -> tuple[int, int]:
-    """(raw_bits, huffman_bits) of a grouped mantissa vector (SPEC.md §8)."""
+def _grouped_costs(alloc, mant, bol: np.ndarray, n_sets: int = 2
+                   ) -> tuple[int, list[int]]:
+    """(raw_bits, [huffman_bits per trained set]) of a grouped mantissa
+    vector (SPEC.md §8)."""
     from tac import huffman as hf
 
-    cost = hf.cost_table_np()
-    raw = huf = 0
+    costs = [hf.cost_table_np(sid) for sid in range(1, n_sets + 1)]
+    raw = 0
+    hufs = [0] * len(costs)
     for i in range(len(mant)):
         m = int(alloc[bol[i]])
         if m <= 0:
             continue
         raw += m
         if hf.MIN_M <= m <= hf.MAX_M:
-            huf += int(cost[m - hf.MIN_M, int(mant[i])])
+            for si, cost in enumerate(costs):
+                hufs[si] += int(cost[m - hf.MIN_M, int(mant[i])])
         else:
-            huf += m
-    return raw, huf
+            for si in range(len(costs)):
+                hufs[si] += m
+    return raw, hufs
 
 
 def _read_grouped(pb: PackedBits, bol: np.ndarray, cfg: CodecConfig,
@@ -178,13 +183,13 @@ def _read_grouped(pb: PackedBits, bol: np.ndarray, cfg: CodecConfig,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
-    tabs = hf.load_tables() if table_id == 1 else None
+    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
     mant = np.zeros(n, np.int64)
     for i in range(n):
         m = int(alloc[bol[i]])
         if m <= 0:
             continue
-        if table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+        if table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
             mant[i] = _read_huffman_symbol(pb, m, tabs)
         else:
             mant[i] = pb.ReadBits(m)
@@ -278,14 +283,16 @@ def encode_block_bs_vbr(full: np.ndarray, state: int, cfg: CodecConfig,
     """Huffman-combo block encode (SPEC.md §8+§9): encode at the reservoir
     budget, price the state-selected mantissas raw vs Huffman, emit
     [state | ovs | tableId | ...]. Returns (payload bytes, used bits)."""
+    from tac.oracle.pacfile import pick_tid
+
     res, bol = _encode_block_bs_fields(full, state, cfg, budget)
     ovs, alloc, scale, mant = res
-    raw, huf = _grouped_costs(alloc, mant, bol)
-    tid = 1 if huf < raw else 0
+    raw, hufs = _grouped_costs(alloc, mant, bol, cfg.huffman_sets)
+    tid, used = pick_tid(raw, hufs)
     pb = PackedBits()
     pb.WriteBits(int(state), 2)
     _write_grouped(pb, ovs, alloc, scale, mant, bol, cfg, table_id=tid)
-    return pb.GetPackedData(), min(raw, huf)
+    return pb.GetPackedData(), used
 
 
 def decode_block_bs(pb: PackedBits, cfg: CodecConfig) -> np.ndarray:

@@ -74,8 +74,8 @@ def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
-    if table_id == 1:
-        tabs = hf.load_tables()
+    if table_id in (1, 2):
+        tabs = hf.load_tables(table_id)
         for b in range(bands.N_BANDS):
             m = int(alloc[b])
             for q in mant[b]:
@@ -98,21 +98,38 @@ def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig,
     return pb.GetPackedData()
 
 
-def _mantissa_costs(alloc, mant, cfg: CodecConfig) -> tuple[int, int]:
-    """(raw_bits, huffman_bits) for one channel's mantissas (SPEC.md §8)."""
+def _mantissa_costs(alloc, mant, cfg: CodecConfig
+                    ) -> tuple[int, list[int]]:
+    """(raw_bits, [huffman_bits per trained set]) for one channel's
+    mantissas (SPEC.md §8; set count = cfg.huffman_sets)."""
     from tac import huffman as hf
 
-    cost = hf.cost_table_np()
-    raw = huf = 0
+    costs = [hf.cost_table_np(sid)
+             for sid in range(1, cfg.huffman_sets + 1)]
+    raw = 0
+    hufs = [0] * len(costs)
     for b in range(bands.N_BANDS):
         m = int(alloc[b])
         for q in mant[b]:
             raw += m
             if hf.MIN_M <= m <= hf.MAX_M:
-                huf += int(cost[m - hf.MIN_M, int(q)])
+                for si, cost in enumerate(costs):
+                    hufs[si] += int(cost[m - hf.MIN_M, int(q)])
             else:
-                huf += m
-    return raw, huf
+                for si in range(len(costs)):
+                    hufs[si] += m
+    return raw, hufs
+
+
+def pick_tid(raw: int, hufs: list[int]) -> tuple[int, int]:
+    """(tableId, used_bits) from the 3-way min with tie order
+    raw <= set1 <= set2 (SPEC.md §8) — the serial mirror of
+    codec._reservoir_chain's argmin."""
+    best, tid = raw, 0
+    for si, h in enumerate(hufs):
+        if h < best:
+            best, tid = h, si + 1
+    return tid, best
 
 
 def _read_huffman_symbol(pb: PackedBits, m: int, tabs) -> int:
@@ -150,13 +167,13 @@ def _read_payload(data: bytes, cfg: CodecConfig):
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
-    tabs = hf.load_tables() if table_id == 1 else None
+    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
     mant = []
     for b in range(bands.N_BANDS):
         m = int(alloc[b])
         if m <= 0:
             mant.append([])
-        elif table_id == 1 and hf.MIN_M <= m <= hf.MAX_M:
+        elif table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
             mant.append([_read_huffman_symbol(pb, m, tabs)
                          for _ in range(int(n_lines[b]))])
         else:
@@ -214,9 +231,8 @@ class PACFile(AudioFile):
                 budget = base + self._res[c]
                 ovs, alloc, scale, mant = EncodeSingleChannel(full, cfg,
                                                               budget)
-                raw, huf = _mantissa_costs(alloc, mant, cfg)
-                tid = 1 if huf < raw else 0
-                used = min(raw, huf)
+                raw, hufs = _mantissa_costs(alloc, mant, cfg)
+                tid, used = pick_tid(raw, hufs)
                 self._res[c] = min(max(self._res[c] + base - used, 0), cap)
                 payload = _write_payload(ovs, alloc, scale, mant, cfg,
                                          table_id=tid)
@@ -247,13 +263,13 @@ class PACFile(AudioFile):
                 budget = base2 + self._res[p]
                 tuples = EncodeBlockMS(fulls[2 * p], fulls[2 * p + 1],
                                        cfg, budget)
-                raw = huf = 0
+                raw = 0
+                hufs = [0] * cfg.huffman_sets
                 for ovs, alloc, scale, mant in tuples:
                     r_, h_ = _mantissa_costs(alloc, mant, cfg)
                     raw += r_
-                    huf += h_
-                tid = 1 if huf < raw else 0
-                used = min(raw, huf)
+                    hufs = [x + y for x, y in zip(hufs, h_)]
+                tid, used = pick_tid(raw, hufs)
                 self._res[p] = min(max(self._res[p] + base2 - used, 0),
                                    cap2)
                 payloads += [_write_payload(*t, cfg, table_id=tid)

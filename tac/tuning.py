@@ -121,6 +121,55 @@ def enc_chunk() -> int:
     return _cached[key]
 
 
+_dispatch_ms: float | None = None
+
+
+def _null_dispatch_ms() -> float:
+    """Median round-trip of a trivial jitted dispatch (once per process).
+
+    The cheap link-health probe: locally-attached TPUs measure well under
+    1 ms; this box's remote tunnel measures ~27-30 ms (PERF.md). Used to
+    size host<->device batching policies without env vars."""
+    global _dispatch_ms
+    if _dispatch_ms is None:
+        import time
+
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+
+        try:
+            f = jax.jit(lambda v: v + 1.0)
+            v = jnp.zeros(8, jnp.float32)
+            np.asarray(f(v))
+            ts = []
+            for _ in range(5):
+                t0 = time.perf_counter()
+                np.asarray(f(v))
+                ts.append((time.perf_counter() - t0) * 1e3)
+            _dispatch_ms = float(np.median(ts))
+        except Exception:
+            _dispatch_ms = float("inf")
+    return _dispatch_ms
+
+
+def corpus_batch_default() -> int:
+    """Default corpus batch size, derived per backend (VERDICT r3 item 3).
+
+    The VBR lane-batch ladder measures throughput rising to a knee at
+    ~32 clips (PERF.md ladder: 3143/5938/6516 aps at 8/32/64 x 60-s
+    clips), so healthy locally-attached TPUs default to the knee. Link-bound boxes (remote tunnel, >5 ms null dispatch)
+    and CPU backends stay at 8: there the batch upload is the bottleneck
+    and large batches only grow the failure blast radius (corpus.py
+    falls back per-clip on a batch fault). TAC_CORPUS_BATCH overrides."""
+    env = os.environ.get("TAC_CORPUS_BATCH")
+    if env:
+        return max(int(env), 1)
+    if not _key().startswith("tpu"):
+        return 8
+    return 32 if _null_dispatch_ms() <= 5.0 else 8
+
+
 def record_fault() -> None:
     """Downgrade the cached chunk after a live backend fault (the current
     PJRT client is unrecoverable; this fixes the NEXT process)."""

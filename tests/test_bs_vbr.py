@@ -61,7 +61,7 @@ def test_stream_uses_both_states_and_tables(clip):
     """The golden-style clip must actually exercise the combined modes:
     SHORT frames present AND huffman-coded blocks present."""
     x, fs = clip
-    from tac import huffman as hf
+    from tac import codec
 
     c = bsw.make_bs_consts(CFG)
     xt = jnp.asarray(x.T)
@@ -69,7 +69,7 @@ def test_stream_uses_both_states_and_tables(clip):
     frames = fb.frame_signal(xt, CFG.n_mdct_lines)
     f = frames.shape[1]
     states = bsw.window_states(bsw.transient_flags(xt, CFG), f)
-    cost_tab = hf.cost_table_jnp()
+    cost_tab = codec.cost_tables(CFG)     # per-set tuple (SPEC §8 v3)
     import jax
     bc, tids, _ = jax.vmap(
         lambda fr, st: bsw._encode_channel_bs_vbr(fr, st, 0, CFG, c,
@@ -77,7 +77,7 @@ def test_stream_uses_both_states_and_tables(clip):
     st = np.asarray(bc.state)
     tid = np.asarray(tids)
     assert (st == bsw.SHORT).any() and (st == bsw.LONG).any()
-    assert (tid == 1).any(), "no block chose the huffman tables"
+    assert (tid >= 1).any(), "no block chose the huffman tables"
 
 
 def test_reservoir_banks_bits(clip):

@@ -31,6 +31,27 @@ def corpus_dir(tmp_path):
     return tmp_path, paths
 
 
+def test_default_batch_size_derived(corpus_dir):
+    """batch_size=None derives the per-backend default (VERDICT r3 item 3:
+    the measured lane-batch knee on healthy TPU attach, 8 on link-bound/
+    CPU backends) and still yields per-clip byte-identical streams — the
+    lane-batched scan starts every clip's reservoir chain at 0, so batch
+    membership can never change bytes."""
+    from tac import tuning
+
+    tmp_path, paths = corpus_dir
+    out = tmp_path / "out_default"
+    tc = CorpusTranscoder(CFG, str(out))          # batch_size=None
+    assert tc.batch_size == tuning.corpus_batch_default() >= 1
+    stats = tc.run(paths, log=lambda *a: None)
+    assert stats["ok"] == 4 and stats["failed"] == 0
+    for p in paths[:2]:
+        from tac.io.wav import read_wav
+        x, fs = read_wav(p)
+        name = os.path.splitext(os.path.basename(p))[0] + ".pac"
+        assert (out / name).read_bytes() == api.encode_array(x, CFG), p
+
+
 def test_batched_bytes_equal_solo(corpus_dir):
     tmp_path, paths = corpus_dir
     out = tmp_path / "out"

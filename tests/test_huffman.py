@@ -121,4 +121,77 @@ def test_reservoir_bounded(clip44):
     c = codec.make_consts(cfg)
     # with the cap, no frame may allocate more than base + cap
     assert used.max() <= c.budget * (1 + cfg.reservoir_factor)
-    assert np.all(np.asarray(vbr.table_id) <= 1)
+    assert np.all(np.asarray(vbr.table_id) <= cfg.huffman_sets)
+
+
+# ------------------------------ second trained set (tid = 2, SPEC §8 v3) ----
+
+@pytest.fixture(scope="module")
+def transient_clip():
+    from tools.material import castanets
+    return castanets(44100, 1.0)[:, None], 44100
+
+
+def test_set2_tables_prefix_free_and_distinct():
+    assert hf.n_sets() == 2
+    for m, t in hf.load_tables(2).items():
+        lens, codes = t["lengths"], t["codes"]
+        live = [(int(l), int(c)) for l, c in zip(lens, codes) if l > 0]
+        for i, (l1, c1) in enumerate(live):
+            for l2, c2 in live[i + 1:]:
+                lo, hi = sorted([(l1, c1), (l2, c2)])
+                assert (hi[1] >> (hi[0] - lo[0])) != lo[1]
+        assert lens[-1] > 0
+    # the transient set is genuinely different from the general set
+    assert any(list(hf.load_tables(2)[m]["lengths"])
+               != list(hf.load_tables(1)[m]["lengths"])
+               for m in range(hf.MIN_M, hf.MAX_M + 1))
+
+
+def test_tid2_chosen_and_byte_parity(transient_clip):
+    """On transient material the encoder picks tid=2 for a real share of
+    blocks, the stream byte-matches the oracle, and the oracle decodes it."""
+    x, fs = transient_clip
+    cfg = PRESETS["vbr-huffman"].replace(n_channels=1, precision="parity")
+    data = api.encode_array(x, cfg)
+    assert data == o_enc(x, cfg)
+    tids = np.asarray(codec.encode_clip_vbr(x.T, cfg).table_id)
+    counts = np.bincount(tids.ravel(), minlength=3)
+    assert counts[2] > 0, counts                 # tid=2 actually in use
+    y, _ = api.decode_array(data)                # device decode walks set 2
+    y_o, _ = o_dec(data)                         # oracle decode too
+    np.testing.assert_allclose(y_o, y[: len(y_o)], atol=2e-6)
+
+
+def test_tid2_host_deserializer(transient_clip):
+    """api.payload_to_frames_vbr (host path, native C walk) decodes tid=2
+    rows identically to the device unpack."""
+    from tac import bands, bitstream as bs
+    from tac.dsp.mdct import num_frames
+
+    x, fs = transient_clip
+    cfg = PRESETS["vbr-huffman"].replace(n_channels=1, precision="parity")
+    data = api.encode_array(x, cfg)
+    hdr, off = bs.read_header(data)
+    f = num_frames(hdr.num_samples, hdr.n_mdct_lines)
+    host = api.payload_to_frames_vbr(data, off, f, cfg, hdr.n_mdct_lines)
+    dev = codec.encode_clip_vbr(x.T, cfg)        # what the encoder emitted
+    for name in ("ovs", "alloc_code", "scale", "mant"):
+        np.testing.assert_array_equal(np.asarray(getattr(host, name)),
+                                      np.asarray(getattr(dev.code, name)),
+                                      err_msg=name)
+
+
+def test_set2_gain_on_transients(transient_clip):
+    """The measured reason tid=2 exists (VERDICT r3 item 5): at matched
+    rate, castanets SNR improves vs huffman_sets=1 (round-4 measurement:
+    +0.86 dB vbr / +0.70 dB combo; floor leaves margin) and never costs
+    more than noise on any material (the 3-way min can only reduce
+    used bits per block)."""
+    x, fs = transient_clip
+    cfg2 = PRESETS["vbr-huffman"].replace(n_channels=1)
+    cfg1 = cfg2.replace(huffman_sets=1)
+    y2, _ = api.decode_array(api.encode_array(x, cfg2), precision="fast")
+    y1, _ = api.decode_array(api.encode_array(x, cfg1), precision="fast")
+    s1, s2 = _snr(x[:, 0], y1[:, 0]), _snr(x[:, 0], y2[:, 0])
+    assert s2 > s1 + 0.2, (s1, s2)

@@ -57,3 +57,43 @@ def test_kernel_equals_scan(rng):
     hufr = tid == 1
     assert hufr.any(), "test stream has no huffman rows"
     np.testing.assert_array_equal(ref[hufr], out[hufr])
+
+
+def test_kernel_equals_scan_set2(rng):
+    """tid=2 rows (SPEC §8 v3): the kernel's set-2 canonical constants
+    decode identically to the XLA scan with the set-2 LUTs on a real
+    transient stream."""
+    from tools.material import castanets
+
+    fs = CFG.sample_rate
+    x = jnp.asarray(castanets(fs, 0.6)[None, :], jnp.float32)
+    cfg = CFG.replace(n_channels=1)
+    words, nbits = codec.encode_clip_vbr_packed(x, cfg)
+    wf = jnp.asarray(np.asarray(words)).reshape(-1, words.shape[-1])
+    c = codec.make_consts(cfg)
+    s, a = cfg.n_scale_bits, cfg.n_mant_size_bits
+    nb = bands.N_BANDS
+    from tac.ops.bitunpack import read_fields
+
+    k = wf.shape[0]
+    head_off = jnp.concatenate([
+        jnp.asarray([0, s], jnp.int32),
+        s + 2 + a * jnp.arange(nb, dtype=jnp.int32)])
+    head_wid = jnp.concatenate([jnp.asarray([s, 2], jnp.int32),
+                                jnp.full(nb, a, jnp.int32)])
+    head = read_fields(wf, jnp.broadcast_to(head_off, (k, nb + 2)),
+                       jnp.broadcast_to(head_wid, (k, nb + 2)))
+    alloc = codec.ba.code_to_alloc(head[:, 2:])
+    sf_w = jnp.where(alloc > 0, s, 0).astype(jnp.int32)
+    sf_end = jnp.cumsum(sf_w, axis=1)
+    m_line = alloc[:, c.band_of_line].astype(jnp.int32)
+    mant_start = (s + 2 + a * nb) + sf_end[:, -1]
+
+    tid = np.asarray(head[:, 1])
+    assert (tid == 2).any(), "transient stream has no tid=2 rows"
+    ref = np.asarray(codec._huffman_decode_scan(wf, mant_start, m_line,
+                                                set_id=2))
+    out = np.asarray(huffman_decode_rows(wf, mant_start, m_line,
+                                         interpret=True, set_id=2))
+    sel = tid == 2
+    np.testing.assert_array_equal(ref[sel], out[sel])

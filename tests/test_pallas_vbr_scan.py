@@ -95,6 +95,27 @@ def test_scan_kernel_joint_ms_bands(rng):
         np.testing.assert_array_equal(r, o, err_msg=name)
 
 
+def test_scan_kernel_two_table_sets(rng):
+    """SPEC §8 v3: bits_huf [..., 14] (two trained sets) — the kernel's
+    3-way raw/set1/set2 min with tie order 0 <= 1 <= 2 must equal the
+    lax.scan path's argmin, including exact-tie lanes."""
+    f, lanes = 7, 3
+    smr = rng.normal(8, 22, (f, lanes, B)).astype(np.float32)
+    m = rng.integers(MIN_M, MAX_M + 1, (f, lanes, B, 14))
+    bh = (m * NL[None, None, :, None]
+          * rng.uniform(0.7, 1.3, m.shape)).astype(np.int32)
+    # force exact raw==huf and set1==set2 ties on a few cells
+    bh[0, 0, :, :7] = (np.arange(MIN_M, MAX_M + 1)[None, :]
+                       * NL[:, None]).astype(np.int32)      # huf1 == raw
+    bh[1, 1, :, 7:] = bh[1, 1, :, :7]                       # set2 == set1
+    res0 = np.zeros(lanes, np.int32)
+    ref = _chain_ref(smr, bh, NL, res0, 700, 2800)
+    out = _chain_kernel(smr, bh, NL, res0, 700, 2800)
+    for r, o, name in zip(ref, out, ["alloc", "tid", "used", "res"]):
+        np.testing.assert_array_equal(r, o, err_msg=name)
+    assert (ref[1] == 2).any()                   # set 2 actually chosen
+
+
 def test_scan_kernel_resumes_mid_stream(rng):
     """Chain split at frame k with carried fills == unsplit chain
     (the streaming StreamState resume contract)."""

@@ -223,6 +223,49 @@ def test_chunked_fast_mode_contract(clip):
     assert snr >= 40.0, snr
 
 
+def test_streaming_steady_state_no_retrace_and_cpu_floor():
+    """VERDICT r3 item 6: two contracts the suite would otherwise miss.
+
+    (1) Steady-state same-size pushes must NOT retrace the jitted push
+    cores — an accidental per-push retrace (e.g. a bucket-rounding bug in
+    streaming._bucket) is a silent ~100x throughput regression that every
+    correctness test would still pass. Counted via the cores' jit cache
+    size.
+    (2) A CPU-backend absolute floor: steady-state 1-s pushes at >= 1x
+    real time (raw) / >= 0.3x (VBR — the serial reservoir scan is chip
+    work; measured ~1.4x raw, ~0.5x vbr on this 1-core box, floors leave
+    headroom for loaded CI). The TPU floor test below covers real-chip
+    attach."""
+    import time
+
+    import jax
+
+    from tac import codec
+
+    fs = 44100
+    t = np.arange(fs * 5) / fs
+    x = 0.3 * np.sin(2 * np.pi * 440 * t) + 0.05 * np.sin(2 * np.pi * 3100 * t)
+    x2 = np.stack([x, 0.7 * x], axis=1)
+    cases = [("stereo44-128", codec._encode_frames_packed_halves, 1.0),
+             ("vbr-huffman", codec._encode_frames_vbr_packed, 0.3)]
+    for preset, core, floor in cases:
+        cfg = PRESETS[preset].replace(n_channels=2, sample_rate=fs)
+        enc = StreamEncoder(cfg, n_channels=2)
+        out = enc.push(x2[:fs]) + enc.push(x2[fs:2 * fs])   # warm the bucket
+        base = core._cache_size()
+        n = 3
+        t0 = time.perf_counter()
+        for i in range(2, 2 + n):
+            out += enc.push(x2[i * fs:(i + 1) * fs])
+        dt = time.perf_counter() - t0
+        assert core._cache_size() == base, \
+            f"{preset}: steady-state push retraced the core"
+        assert len(out) > 0
+        if jax.default_backend() == "cpu":
+            rate = n / dt
+            assert rate >= floor, (preset, rate)
+
+
 def test_streaming_realtime_floor_on_tpu():
     """VERDICT r2 item 2's floor: >= 1x real time at H-sized pushes and
     >= 50x at 1-s pushes. Push throughput is dispatch-latency-bound

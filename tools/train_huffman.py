@@ -8,7 +8,16 @@ the 2^m raw codes plus ESCAPE (= 2^m); rare symbols (and anything that
 would push max code length past MAX_LEN) collapse into ESCAPE, which emits
 the raw m bits after its codeword.
 
-Writes tac/huffman_tables.json. Run: python tools/train_huffman.py
+Two sets (SPEC.md §8, VERDICT r3 item 5 — the reserved tableId space):
+  set 1 (tac/huffman_tables.json): the general corpus above;
+  set 2 (tac/huffman_tables_t.json): transient/short-block statistics —
+    grouped-short mantissas of SHORT frames plus the long-path mantissas
+    of transient (START/SHORT/STOP) frames under the block-switch
+    pipeline on attack-heavy material. Short-block mantissas concentrate
+    differently (impulsive spectra -> heavier extreme-code mass), which
+    is exactly what a per-block tableId exists to exploit.
+
+Run: python tools/train_huffman.py [--set 1|2|all]  (default: all)
 """
 
 from __future__ import annotations
@@ -73,6 +82,86 @@ def collect_histograms() -> dict[int, np.ndarray]:
     return hists
 
 
+def corpus_transient(fs: int = 44100, seconds: float = 4.0
+                     ) -> list[np.ndarray]:
+    """Attack-heavy material for the set-2 statistics: impulse trains of
+    varying density/brightness, castanet-style strikes, noise bursts."""
+    rng = np.random.default_rng(4222)
+    t = np.arange(int(fs * seconds)) / fs
+    clips = []
+    for rate, f0, decay in ((6, 1500.0, 300.0), (11, 2800.0, 80.0),
+                            (17, 900.0, 150.0)):
+        imp = np.zeros(len(t))
+        for i in range(int(seconds * rate)):
+            k = int(fs * (i + 0.31) / rate)
+            if k + 2000 > len(t):
+                break
+            ph = 2 * np.pi * f0 * np.arange(2000) / fs
+            imp[k:k + 2000] += np.exp(-np.arange(2000) / decay) * np.sin(ph)
+        clips.append(0.6 * imp / max(np.max(np.abs(imp)), 1e-9))
+    # noise bursts (drum-ish): shaped noise with sharp onsets
+    b = np.zeros(len(t))
+    for i in range(int(seconds * 8)):
+        k = int(fs * (i + 0.47) / 8)
+        if k + 3000 > len(t):
+            break
+        b[k:k + 3000] += (np.exp(-np.arange(3000) / 400.0)
+                          * rng.standard_normal(3000))
+    clips.append(0.5 * b / max(np.max(np.abs(b)), 1e-9))
+    # strike + tonal bed (mixed frames exercise START/STOP states)
+    bed = 0.2 * np.sin(2 * np.pi * 330 * t)
+    clips.append(np.clip(bed + 0.8 * clips[0], -0.99, 0.99))
+    return clips
+
+
+def collect_histograms_transient() -> dict[int, np.ndarray]:
+    """Set-2 histograms: block-switch encodes of transient material;
+    SHORT frames contribute their grouped-short mantissas, START/STOP
+    frames their long-path mantissas (the codes tid=2 would actually
+    carry under SPEC §9 serialization)."""
+    import jax
+    import jax.numpy as jnp
+
+    from tac import bands, blockswitch as bsw
+    from tac.config import CodecConfig
+
+    hists = {m: np.zeros(2 ** m, np.int64) for m in range(2, 9)}
+    for kbps in (64, 96, 128, 192):
+        cfg = CodecConfig(sample_rate=44100, n_channels=1,
+                          bitrate_bps=kbps * 1000, use_psy=True,
+                          use_block_switch=True, n_mdct_lines_short=128,
+                          precision="fast")
+        c = bsw.make_bs_consts(cfg)
+        h, hs = cfg.n_mdct_lines, cfg.n_mdct_lines_short
+        bol_l = bands.band_of_line(cfg.sample_rate, h)
+        bol_s = np.tile(bands.band_of_line(cfg.sample_rate, hs), h // hs)
+        from tac.dsp import mdct as fb
+        for clip in corpus_transient():
+            x = jnp.asarray(clip[None, :], jnp.float32)
+            states = np.asarray(bsw.window_states(
+                bsw.transient_flags(x, cfg),
+                fb.num_frames(x.shape[-1], h)))[0]
+            frames = fb.frame_signal(x, h)[0]
+            bc = jax.vmap(lambda fr, st: bsw.encode_frame_bs(
+                fr, st, cfg, c))(frames, jnp.asarray(states))
+            state = np.asarray(bc.state)
+            for code, bol, sel in (
+                    (bc.short, bol_s, state == bsw.SHORT),
+                    (bc.long, bol_l,
+                     (state == bsw.START) | (state == bsw.STOP))):
+                if not sel.any():
+                    continue
+                alloc = np.asarray(code.alloc_code)[sel]
+                alloc = np.where(alloc > 0, alloc + 1, 0)
+                mant = np.asarray(code.mant)[sel]
+                m_line = alloc[..., bol]
+                for m in range(2, 9):
+                    v = mant[m_line == m]
+                    if v.size:
+                        hists[m] += np.bincount(v, minlength=2 ** m)
+    return hists
+
+
 def build_canonical(freq: np.ndarray) -> tuple[list[int], list[int]]:
     """freq over syms 0..2^m (last = ESCAPE) → canonical (lengths, codes)."""
     n = len(freq)
@@ -116,8 +205,9 @@ def assign_codes(lengths: list[int]) -> list[int]:
     return codes
 
 
-def train() -> dict:
-    hists = collect_histograms()
+def train(hists: dict | None = None) -> dict:
+    if hists is None:
+        hists = collect_histograms()
     tables = {}
     for m in range(2, 9):
         h = hists[m].astype(np.float64)
@@ -143,8 +233,20 @@ def train() -> dict:
 
 
 if __name__ == "__main__":
-    out = os.path.join(os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), "tac", "huffman_tables.json")
-    with open(out, "w") as f:
-        json.dump(train(), f)
-    print("wrote", out)
+    which = "all"
+    for a in sys.argv[1:]:
+        if a.startswith("--set"):
+            which = a.split("=", 1)[1] if "=" in a \
+                else sys.argv[sys.argv.index(a) + 1]
+    tac_dir = os.path.join(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), "tac")
+    if which in ("1", "all"):
+        out = os.path.join(tac_dir, "huffman_tables.json")
+        with open(out, "w") as f:
+            json.dump(train(), f)
+        print("wrote", out)
+    if which in ("2", "all"):
+        out = os.path.join(tac_dir, "huffman_tables_t.json")
+        with open(out, "w") as f:
+            json.dump(train(collect_histograms_transient()), f)
+        print("wrote", out)
