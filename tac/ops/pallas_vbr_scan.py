@@ -145,10 +145,14 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     # loop-shape knobs (decision-exact at ANY setting: the warm start's
     # prefix lemma holds for any trip count, and unrolled post-done body
     # applications are the identity — pallas_alloc). Defaults measured on
-    # the live chip (tools/bench_vbr.py A/B, PERF.md round-3 perf session).
+    # the live chip: round-4 trip-count A/B (tools/bench_warmstart.py,
+    # PERF.md) — 1 round x 12 bisect beats the old 2x20 by ~1.18x on the
+    # 60-s scan (45.8 vs 54.1 ms, stable across two runs); the fixed-rate
+    # water-fill kernel measured FLAT across the same grid, so its 2x20
+    # defaults stand (pallas_alloc.py).
     unroll = max(int(os.environ.get("TAC_WF_UNROLL", 1)), 1)
-    ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 2)), 1)
-    ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 20)), 1)
+    ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 1)), 1)
+    ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 12)), 1)
     fp = -(-f // g) * g
     n_grid = fp // g
 

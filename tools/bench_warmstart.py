@@ -90,7 +90,10 @@ def main() -> None:
         os.environ.pop("TAC_WS_BISECT", None)
         return fn
 
-    grid = [(2, 20), (1, 20), (2, 12), (1, 12), (3, 20), (2, 28), (1, 32)]
+    grid_env = os.environ.get("TAC_WS_GRID",
+                              "2x20,1x20,2x12,1x12,3x20,2x28,1x32")
+    grid = [tuple(int(v) for v in g.split("x"))
+            for g in grid_env.split(",")]
     arms = {f"{r}x{b}": make_arm(r, b) for r, b in grid}
     reps = int(os.environ.get("TAC_AB_REPS", 7))
     times = {k: [] for k in arms}
@@ -102,7 +105,54 @@ def main() -> None:
     med = {k: round(float(np.median(v) * 1e3), 2) for k, v in times.items()}
     out = {"metric": "vbr_scan_warmstart_ab_ms_per_scan",
            "seconds_per_clip": secs, "frames": int(f), **med}
-    print(json.dumps(out))
+    print(json.dumps(out), flush=True)
+
+    # --- fixed-rate leg: water_fill_rows in isolation (the flagship's
+    # allocation kernel, 0.12 of the 0.74 ms chunk) on real smr rows,
+    # same fresh-jit-per-arm + interleaved-median methodology.
+    from tac.ops import pallas_alloc as pa
+
+    fcfg = PRESETS["stereo44-128"]
+    fc = codec.make_consts(fcfg)
+    fframes = fb.frame_signal(x, fcfg.n_mdct_lines)
+    frows = fframes.reshape(-1, fframes.shape[-1])[:1024]
+    _, smr_f = jax.jit(jax.vmap(
+        lambda fr: codec.analyze_frame(fr, fcfg, fc)))(frows)
+    smr_rows = jax.device_put(ba.snap_smr(smr_f).astype(jnp.float32))
+    fnl = fc.n_lines
+    fbud = jnp.full((smr_rows.shape[0],), int(fc.budget), jnp.int32)
+    a0 = jnp.zeros(smr_rows.shape, jnp.int32)
+    raw_wf = pa.water_fill_rows.__wrapped__
+    k_wf = 8
+
+    def make_wf_arm(rounds: int, bisect: int):
+        os.environ["TAC_WS_ROUNDS"] = str(rounds)
+        os.environ["TAC_WS_BISECT"] = str(bisect)
+
+        def chained(sm):
+            def body(carry, _):
+                s2 = jnp.where(carry < 0, sm + jnp.float32(1), sm)
+                al = raw_wf(s2, fnl, a0, fbud, max_mant=16,
+                            nb=int(fnl.shape[0]), warm=True)
+                return jnp.sum(al).astype(jnp.float32), None
+            s, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=k_wf)
+            return s
+        fn = jax.jit(chained)
+        np.asarray(fn(smr_rows))
+        os.environ.pop("TAC_WS_ROUNDS", None)
+        os.environ.pop("TAC_WS_BISECT", None)
+        return fn
+
+    wf_arms = {f"{r}x{b}": make_wf_arm(r, b) for r, b in grid}
+    wf_times = {k: [] for k in wf_arms}
+    for _ in range(reps):
+        for k, fn in wf_arms.items():
+            t0 = time.perf_counter()
+            np.asarray(fn(smr_rows))
+            wf_times[k].append((time.perf_counter() - t0) / k_wf * 1e3)
+    wf_med = {k: round(float(np.median(v)), 3) for k, v in wf_times.items()}
+    print(json.dumps({"metric": "waterfill_warmstart_ab_ms_per_1024rows",
+                      **wf_med}))
 
 
 if __name__ == "__main__":
