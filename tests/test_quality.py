@@ -41,16 +41,18 @@ def _roundtrip(x, cfg):
     return y
 
 
-# (material, preset, overrides, floor dB) — measured r2: 6.2/31.1/29.1/
-# 35.3/9.5/37.5/24.1 respectively
+# (material, preset, floor dB) — floors = measured − 1 dB (VERDICT r3
+# item 9: contracts, not tripwires). Measured round 4 on the CPU backend
+# (tools/measure_quality.py, tid=2 active): 6.19/31.14/29.05/35.34/
+# 10.32/37.61/24.08 respectively.
 CASES = [
-    ("castanets", "stereo44-128", 4.0),
-    ("speech", "stereo44-128", 26.0),
-    ("glockenspiel", "stereo44-128", 24.0),
-    ("speech", "vbr-huffman", 30.0),
-    ("castanets", "vbr-bs", 7.0),
-    ("speech", "vbr-bs", 32.0),
-    ("glockenspiel", "streaming-ll", 19.0),
+    ("castanets", "stereo44-128", 5.1),
+    ("speech", "stereo44-128", 30.1),
+    ("glockenspiel", "stereo44-128", 28.0),
+    ("speech", "vbr-huffman", 34.3),
+    ("castanets", "vbr-bs", 9.3),
+    ("speech", "vbr-bs", 36.6),
+    ("glockenspiel", "streaming-ll", 23.0),
 ]
 
 
@@ -121,9 +123,10 @@ def test_noise_below_masked_threshold():
     material at 128 kbps, per-band coding-noise intensity must sit at or
     under the psy model's own masked threshold — this validates what the
     SNR floors can't (noise can be large and inaudible, small and
-    audible). Measured on this material: allocated-band NMR median
-    -47 dB, p90 -34 dB, worst cell +0.9 dB; unallocated bands (judged
-    maskable by the allocator) all <= -27 dB. Floors leave headroom."""
+    audible). Measured round 4 (tools/measure_quality.py, CPU backend):
+    allocated-band NMR median -46.76 dB, p90 -33.75 dB, worst cell
+    +0.86 dB; unallocated bands (judged maskable by the allocator) all
+    <= -27.52 dB. Bounds = measured + ~1-2 dB (VERDICT r3 item 9)."""
     import jax
     import jax.numpy as jnp
 
@@ -161,8 +164,8 @@ def test_noise_below_masked_threshold():
     interior = slice(4, -4)
     got = (alloc[interior] > 0)
     vals = nmr[interior][got]
-    assert np.median(vals) <= -20.0, np.median(vals)
-    assert np.percentile(vals, 90) <= -10.0, np.percentile(vals, 90)
-    assert vals.max() <= 6.0, vals.max()
+    assert np.median(vals) <= -45.0, np.median(vals)
+    assert np.percentile(vals, 90) <= -32.0, np.percentile(vals, 90)
+    assert vals.max() <= 2.0, vals.max()
     empty = (alloc[interior] == 0) & (np.asarray(c.n_lines) > 0)[None, :]
-    assert nmr[interior][empty].max() <= -10.0
+    assert nmr[interior][empty].max() <= -26.0
