@@ -57,6 +57,16 @@ def pytest_configure(config):
 if os.environ.get(_MARK) or not _wrong_backend():
     import jax
     jax.config.update("jax_enable_x64", True)
+    # Persistent XLA:CPU compile cache: the suite's dominant cost is jit
+    # compiles (the vbr-bs clip encode alone is ~100 s cold, ~11 s from
+    # cache — measured round 5), and _clear_jit_arena forces re-loads
+    # between modules. Key'd by program + flags, so stale entries are
+    # unreachable, not wrong; TAC_TEST_JIT_CACHE=  (empty) disables.
+    _cache = os.environ.get("TAC_TEST_JIT_CACHE", "/tmp/tac_test_jitcache")
+    if _cache:
+        os.makedirs(_cache, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", _cache)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402

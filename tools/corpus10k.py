@@ -2,9 +2,10 @@
 (VERDICT r3 item 4 — the corpus subsystem's first run at its design
 point). Phases (each resumable / independently invokable):
 
-  gen     synthesize N deterministic stereo WAVs (castanets/speech-like/
-          glockenspiel/tonal mixes, tools/material.py) + ONE deliberately
-          corrupt WAV to exercise quarantine
+  gen     synthesize N deterministic stereo WAVs via tools/make_corpus.py
+          (castanets/speech-like/glockenspiel/tonal mixes — the ONE
+          corpus definition) + ONE deliberately corrupt WAV under its
+          own name to exercise quarantine
   encode  tac corpus run (manifest resume; kill+rerun resumes) — records
           steady-state audio-sec/s and peak RSS every PROGRESS clips
   decode  corpus-decode everything back, same records
@@ -23,8 +24,6 @@ import resource
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 N = int(os.environ.get("TAC_C10K_N", 10000))
@@ -37,38 +36,20 @@ FS = 44100
 
 
 def gen() -> None:
-    from tac.io.wav import write_wav
-    from tools import material
+    """Delegates to tools/make_corpus.generate — the single corpus
+    definition (ADVICE r4: two competing generators collapsed to one)."""
+    from tools.make_corpus import generate
 
-    os.makedirs(WAV_DIR, exist_ok=True)
-    makers = [material.castanets, material.speech_like,
-              material.glockenspiel]
     t0 = time.time()
-    for i in range(N):
-        p = os.path.join(WAV_DIR, f"c{i:05d}.wav")
-        if os.path.exists(p):
-            continue
-        rng = np.random.default_rng(1000 + i)
-        base = makers[i % 3](FS, SECS)
-        # vary level/phasing per clip so streams differ
-        g = 0.4 + 0.5 * rng.random()
-        x = np.stack([g * base,
-                      0.8 * g * np.roll(base, int(rng.integers(1, 400)))
-                      + 0.005 * rng.standard_normal(len(base))], axis=1)
-        write_wav(p, np.clip(x, -0.99, 0.99).astype(np.float32), FS)
-        if i % 1000 == 0:
-            print(f"gen {i}/{N} ({time.time() - t0:.0f}s)", flush=True)
-    # one corrupt WAV: truncated header (quarantine exercise)
-    bad = os.path.join(WAV_DIR, "c_corrupt.wav")
-    with open(os.path.join(WAV_DIR, "c00000.wav"), "rb") as f:
-        blob = f.read()
-    with open(bad, "wb") as f:
-        f.write(blob[:37])
+    generate(WAV_DIR, N, SECS, corrupt=True)
     print(f"gen done: {N} clips + 1 corrupt in {time.time() - t0:.0f}s")
 
 
 def _rss_mb() -> float:
-    return resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1024.0
+    rss = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+    if sys.platform == "darwin":          # bytes there, KB on Linux
+        rss /= 1024.0
+    return rss / 1024.0
 
 
 def encode() -> None:

@@ -60,28 +60,41 @@ def _make_one(args: tuple[str, int, float]) -> str:
     return path
 
 
+def generate(out_dir: str, n: int, seconds: float = 2.0,
+             corrupt: bool = False) -> None:
+    """Synthesize the corpus: n valid clips + (optionally) ONE corrupt
+    WAV under its own name (clip_corrupt.wav) — never clobbering a real
+    clip, so an n-clip run really contains n valid clips.
+
+    Idempotent: existing clip files are skipped, so re-running resumes.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    jobs = [(os.path.join(out_dir, f"clip{i:05d}.wav"), i, seconds)
+            for i in range(n)]
+    jobs = [j for j in jobs if not os.path.exists(j[0])]
+    if jobs:
+        with Pool() as pool:
+            it = pool.imap_unordered(_make_one, jobs, chunksize=64)
+            for k, _ in enumerate(it):
+                if (k + 1) % 1000 == 0:
+                    print(f"{k + 1}/{len(jobs)}", flush=True)
+    if corrupt:
+        bad = os.path.join(out_dir, "clip_corrupt.wav")
+        with open(bad, "wb") as f:
+            f.write(b"RIFF\x00\x00\x00\x00WAVEjunk")
+        print(f"planted corrupt WAV: {bad}")
+    print("done")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("out_dir")
     ap.add_argument("n", type=int, nargs="?", default=10000)
     ap.add_argument("--seconds", type=float, default=2.0)
     ap.add_argument("--corrupt", action="store_true",
-                    help="plant one corrupt WAV (clip index n//2)")
+                    help="plant one corrupt WAV (clip_corrupt.wav)")
     args = ap.parse_args()
-
-    os.makedirs(args.out_dir, exist_ok=True)
-    jobs = [(os.path.join(args.out_dir, f"clip{i:05d}.wav"), i, args.seconds)
-            for i in range(args.n)]
-    with Pool() as pool:
-        for k, _ in enumerate(pool.imap_unordered(_make_one, jobs, chunksize=64)):
-            if (k + 1) % 1000 == 0:
-                print(f"{k + 1}/{args.n}", flush=True)
-    if args.corrupt:
-        bad = os.path.join(args.out_dir, f"clip{args.n // 2:05d}.wav")
-        with open(bad, "wb") as f:
-            f.write(b"RIFF\x00\x00\x00\x00WAVEjunk")
-        print(f"corrupted {bad}")
-    print("done")
+    generate(args.out_dir, args.n, args.seconds, args.corrupt)
 
 
 if __name__ == "__main__":
