@@ -172,6 +172,8 @@ def _bench_main() -> None:
         "unit": "audio_sec_per_sec_per_chip",
         "vs_baseline": round(tac_tput / oracle_tput, 1),
         "device_only": round(dev_tput, 1),
+        "clips": b, "clip_seconds": secs,
+        "backend": jax.default_backend(),
         "note": "value = full path to bytes over this box's remote-TPU "
                 "tunnel; device_only = chip compute (the link-independent "
                 "number)",

@@ -56,7 +56,8 @@ def _dec_of(alloc, dtype=jnp.float32):
 
 
 def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
-                    band_axis: int = 1, unroll: int = 1):
+                    band_axis: int = 1, unroll: int = 1, prefix: int = 0,
+                    max_trips: int = 0):
     """The greedy water-fill while_loop on VMEM-resident tiles.
 
     With band_axis=1 (the VBR reservoir-scan layout): smr f32[R, 128],
@@ -131,13 +132,31 @@ def water_fill_tile(smr, n_lines, alloc0, rem0, *, max_mant: int, nb: int,
 
     # frozen carried as i32 0/1: Mosaic rejects i1 vector stores/selects
     state = (alloc0, rem0, jnp.zeros_like(alloc0), jnp.asarray(False))
+    # prefix > 0: K straight-line body applications BEFORE the loop —
+    # decision-exact for any K (post-done body applications are the
+    # identity), trades K condition syncs for K always-executed bodies
+    # (measured grid: PERF.md "VBR scan tail").
+    for _ in range(max(prefix, 0)):
+        state = body(state)
     # unroll > 1: U body applications per loop-condition check. The body
     # is the IDENTITY once done (no grant and no lone bit leave every
     # carry unchanged), so overshooting the convergence point by up to
     # U-1 applications is decision-exact; what it buys is U-fold fewer
     # vector->scalar condition syncs (the dominant per-iteration stall
     # inside a kernel - PERF.md round-3 perf session).
-    if unroll > 1:
+    if max_trips > 0:
+        # MEASUREMENT HARNESS ONLY — truncates the greedy chain (NOT
+        # decision-exact): bounds the tail to quantify its cost
+        # (PERF.md "VBR scan tail" floor measurement). Never set in
+        # production paths; parity suites run with max_trips=0.
+        def cbody(s):
+            a, r, fz, d, t = s
+            a, r, fz, d = body((a, r, fz, d))
+            return a, r, fz, d, t + 1
+        st = (*state, jnp.int32(0))
+        alloc, *_ = jax.lax.while_loop(
+            lambda s: (~s[3]) & (s[4] < max_trips), cbody, st)
+    elif unroll > 1:
         def chunk(s):
             for _ in range(unroll):
                 s = body(s)

@@ -47,7 +47,8 @@ def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                  alloc_ref, tid_ref, used_ref, res_ref, res_scr, *,
                  base: int, cap: int, max_mant: int, nb: int,
                  g: int, f: int, nl_per_frame: bool, unroll: int,
-                 ws_rounds: int, ws_bisect: int, n_sets: int):
+                 ws_rounds: int, ws_bisect: int, n_sets: int,
+                 wf_prefix: int = 0, wf_max_trips: int = 0):
     i = pl.program_id(0)
 
     @pl.when(i == 0)
@@ -72,7 +73,8 @@ def _scan_kernel(smr_ref, nl_ref, bh_ref, res0_ref,
                                           n_bisect=ws_bisect)
             alloc = water_fill_tile(smr, nl, alloc0, rem,
                                     max_mant=max_mant, nb=nb,
-                                    unroll=unroll)
+                                    unroll=unroll, prefix=wf_prefix,
+                                    max_trips=wf_max_trips)
 
             # pricing: integer-identical to codec._vbr_price (raw =
             # Σ alloc·n_lines; each trained set swaps in its precomputed
@@ -153,6 +155,11 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     unroll = max(int(os.environ.get("TAC_WF_UNROLL", 1)), 1)
     ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 1)), 1)
     ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 12)), 1)
+    # prefix: straight-line body applications before the loop (decision-
+    # exact at any value); max_trips: MEASUREMENT-ONLY tail truncation
+    # (NOT decision-exact — floor probes, PERF.md "VBR scan tail")
+    wf_prefix = max(int(os.environ.get("TAC_WF_PREFIX", 0)), 0)
+    wf_max_trips = max(int(os.environ.get("TAC_WF_MAX_TRIPS", 0)), 0)
     fp = -(-f // g) * g
     n_grid = fp // g
 
@@ -181,7 +188,8 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
                           max_mant=max_mant, nb=b, g=g, f=f,
                           nl_per_frame=nl_per_frame, unroll=unroll,
                           ws_rounds=ws_rounds, ws_bisect=ws_bisect,
-                          n_sets=n_sets),
+                          n_sets=n_sets, wf_prefix=wf_prefix,
+                          wf_max_trips=wf_max_trips),
         out_shape=(
             jax.ShapeDtypeStruct((fp, lp, LANES), jnp.int32),
             jax.ShapeDtypeStruct((fp, lp, 1), jnp.int32),

@@ -108,6 +108,12 @@ def test_scan_kernel_two_table_sets(rng):
     bh[0, 0, :, :7] = (np.arange(MIN_M, MAX_M + 1)[None, :]
                        * NL[:, None]).astype(np.int32)      # huf1 == raw
     bh[1, 1, :, 7:] = bh[1, 1, :, :7]                       # set2 == set1
+    # force a set-2 strict win (cheaper than set1 AND raw) so the
+    # tid==2 sanity check below holds by construction, not by draw
+    bh[2, 2, :, 7:] = np.minimum(
+        bh[2, 2, :, :7],
+        (np.arange(MIN_M, MAX_M + 1)[None, :]
+         * NL[:, None]).astype(np.int32)) - 1
     res0 = np.zeros(lanes, np.int32)
     ref = _chain_ref(smr, bh, NL, res0, 700, 2800)
     out = _chain_kernel(smr, bh, NL, res0, 700, 2800)

@@ -139,6 +139,7 @@ def main() -> None:
 
     print(json.dumps({"metric": "decode_throughput",
                       "unit": "audio_sec_per_sec_per_chip",
+                      "clip_seconds": secs, "clips_batched": 8,
                       "backend": jax.default_backend(), **out}))
 
 

@@ -102,7 +102,9 @@ def main() -> None:
     out["ms_decode_device"] = round(k * secs / timeit(fn), 1)
 
     print(json.dumps({"metric": "ms_throughput",
-                      "unit": "audio_sec_per_sec_per_chip", **out}))
+                      "unit": "audio_sec_per_sec_per_chip",
+                      "clip_seconds": secs, "chained_k": 4,
+                      "backend": jax.default_backend(), **out}))
 
 
 if __name__ == "__main__":

@@ -95,8 +95,15 @@ def main() -> None:
     dt = timeit(lambda: np.asarray(jb(xb)[1][0, 0, 0]))
     out["vbr_batched_device"] = round(b * secs / dt, 1)
 
+    # self-describing artifact (VERDICT r4 weak #4): a JSON found on
+    # disk must carry its own config — clip count, clip length, chained
+    # depth, backend — so no record is ambiguous about what it measured.
+    import jax as _jax
     print(json.dumps({"metric": "vbr_encode_throughput",
-                      "unit": "audio_sec_per_sec_per_chip", **out}))
+                      "unit": "audio_sec_per_sec_per_chip",
+                      "clips_batched": b, "clip_seconds": secs,
+                      "chained_k": 4,
+                      "backend": _jax.default_backend(), **out}))
 
 
 if __name__ == "__main__":
