@@ -132,10 +132,12 @@ def frames_to_payload_vbr(vbr, cfg: CodecConfig, h: int,
     # huffman field pairs for every line (per the row's table set);
     # raw rows overwrite below
     hvals, hwids = hf.encode_fields(mant, m_line)         # [K, H, 2]
-    rows2 = tid == 2
-    if rows2.any():
-        hv2, hw2 = hf.encode_fields(mant[rows2], m_line[rows2], set_id=2)
-        hvals[rows2], hwids[rows2] = hv2, hw2
+    for sid in range(2, hf.n_sets() + 1):
+        rows = tid == sid
+        if rows.any():
+            hv_s, hw_s = hf.encode_fields(mant[rows], m_line[rows],
+                                          set_id=sid)
+            hvals[rows], hwids[rows] = hv_s, hw_s
     raw_rows = tid == 0
     hvals[raw_rows, :, 0] = mant[raw_rows]
     hwids[raw_rows, :, 0] = m_line[raw_rows]
@@ -196,7 +198,7 @@ def payload_to_frames_vbr(data: bytes, offset: int, n_blocks: int,
     if np.any(tid >= 1):
         from tac import native
         raw = np.frombuffer(data, np.uint8)
-        for sid in (1, 2):
+        for sid in range(1, hf.n_sets() + 1):
             for i in np.nonzero(tid == sid)[0]:
                 mant[i], _ = native.huffman_decode_lines(
                     raw, int(mant_start[i]), m_line[i], set_id=sid)

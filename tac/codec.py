@@ -400,7 +400,7 @@ def payload_fields(code: FrameCode, cfg: CodecConfig, c: CodecConsts):
 def vbr_mantissa_pairs(mant, m_line, tid, n_sets: int = 2):
     """Device huffman-or-raw mantissa field pairs (SPEC.md §8).
 
-    mant, m_line: int32[..., H]; tid: int32[...] (0 = raw, 1/2 = trained
+    mant, m_line: int32[..., H]; tid: int32[...] (0 = raw, 1..3 = trained
     sets). Returns (vals, wids) int32[..., 2H]: the chosen set's huffman
     codeword + escape-raw pairs where tid >= 1, a raw m_line-bit field
     (second field width 0) where tid == 0. n_sets bounds which set
@@ -408,11 +408,11 @@ def vbr_mantissa_pairs(mant, m_line, tid, n_sets: int = 2):
     from tac import huffman as hf
 
     hv, hw = hf.encode_fields_device(mant, m_line)
-    if n_sets >= 2:
-        hv2, hw2 = hf.encode_fields_device(mant, m_line, set_id=2)
-        two = (tid == 2)[..., None, None]
-        hv = jnp.where(two, hv2, hv)
-        hw = jnp.where(two, hw2, hw)
+    for sid in range(2, n_sets + 1):
+        hv_s, hw_s = hf.encode_fields_device(mant, m_line, set_id=sid)
+        here = (tid == sid)[..., None, None]
+        hv = jnp.where(here, hv_s, hv)
+        hw = jnp.where(here, hw_s, hw)
     raw = (tid == 0)[..., None]
     v0 = jnp.where(raw, mant, hv[..., 0])
     w0 = jnp.where(raw, m_line, hw[..., 0])
@@ -887,7 +887,7 @@ def _decode_frames_stream(words, tail, m, cfg: CodecConfig):
 class VbrCode(NamedTuple):
     """FrameCode + per-frame entropy-coding decisions (SPEC.md §8)."""
     code: FrameCode
-    table_id: jnp.ndarray    # [C, F] int32: 0 = raw, 1/2 = trained sets
+    table_id: jnp.ndarray    # [C, F] int32: 0 = raw, 1..3 = trained sets
     used_bits: jnp.ndarray   # [C, F] int32 mantissa payload bits actually used
 
 

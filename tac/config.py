@@ -46,9 +46,10 @@ class CodecConfig:
     reservoir_factor: int = 4           # reservoir cap = factor * per-block budget
     # Trained table sets the ENCODER prices (SPEC.md §8): 1 = the general
     # set only (rounds 1-3 behavior), 2 = also the transient/short-block
-    # set via tableId=2 (3-way raw/set1/set2 min per block). Decoders
-    # always accept any tid the tables on disk cover.
-    huffman_sets: int = 2
+    # set via tableId=2 (round-4 behavior), 3 = also the side-channel/
+    # low-rate set via tableId=3 (4-way raw/set1/set2/set3 min per
+    # block). Decoders always accept any tid the tables on disk cover.
+    huffman_sets: int = 3
 
     # Stereo coding (SPEC.md §11 — an extension BEYOND the reference):
     # "lr" = independent channels (reference behavior); "ms" = mid/side
@@ -76,9 +77,9 @@ class CodecConfig:
             raise ValueError(f"unknown alloc_mode {self.alloc_mode!r}")
         if self.precision not in ("parity", "fast"):
             raise ValueError(f"unknown precision {self.precision!r}")
-        if self.huffman_sets not in (1, 2):
-            raise ValueError("huffman_sets must be 1 or 2 (2-bit tableId: "
-                             "0 = raw, 1/2 = trained sets, 3 reserved)")
+        if self.huffman_sets not in (1, 2, 3):
+            raise ValueError("huffman_sets must be 1, 2 or 3 (2-bit "
+                             "tableId: 0 = raw, 1/2/3 = trained sets)")
         if self.use_block_switch:
             if self.n_mdct_lines % self.n_mdct_lines_short:
                 raise ValueError("short lines must divide long lines")

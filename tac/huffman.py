@@ -7,15 +7,17 @@ table gathers inside the jitted encode scan; the *serialization* side
 vectorized with numpy where offsets are static and a small LUT walk where
 they are data-dependent.
 
-Tables: canonical, trained offline by tools/train_huffman.py. TWO trained
-sets live in the 2-bit tableId space (SPEC.md §8): set 1
-(tac/huffman_tables.json, general/tonal statistics) and set 2
-(tac/huffman_tables_t.json, transient/short-block statistics — the
-reserved tid value put to work, VERDICT r3 item 5). Symbols = raw m-bit
-mantissa codes + ESCAPE (= 2^m); escape emits the raw m bits after its
-codeword. tableId per block per channel: 0 = raw, 1/2 = trained sets,
-3 = reserved. Every table accessor below takes `set_id` (default 1, the
-round-1..3 behavior).
+Tables: canonical, trained offline by tools/train_huffman.py. THREE
+trained sets fill the 2-bit tableId space (SPEC.md §8): set 1
+(tac/huffman_tables.json, general/tonal statistics), set 2
+(tac/huffman_tables_t.json, transient/short-block statistics), and set 3
+(tac/huffman_tables_s.json, M/S-side-channel / low-rate statistics —
+the last reserved tid value, wired after tools/eval_tid3.py measured a
+0.96% held-out mantissa-bit saving for the 4-way min, VERDICT r4 item
+6). Symbols = raw m-bit mantissa codes + ESCAPE (= 2^m); escape emits
+the raw m bits after its codeword. tableId per block per channel: 0 =
+raw, 1/2/3 = trained sets. Every table accessor below takes `set_id`
+(default 1, the round-1..3 behavior).
 """
 
 from __future__ import annotations
@@ -31,12 +33,16 @@ MIN_M, MAX_M = 2, 8          # Huffman-codable mantissa sizes
 _DIR = os.path.dirname(__file__)
 TABLES_PATH = os.path.join(_DIR, "huffman_tables.json")
 SET_PATHS = {1: TABLES_PATH,
-             2: os.path.join(_DIR, "huffman_tables_t.json")}
+             2: os.path.join(_DIR, "huffman_tables_t.json"),
+             3: os.path.join(_DIR, "huffman_tables_s.json")}
 
 
 def n_sets() -> int:
-    """Trained table sets available on disk (set 2 is optional)."""
-    return 2 if os.path.exists(SET_PATHS[2]) else 1
+    """Contiguous trained table sets available on disk (2/3 optional)."""
+    n = 1
+    while n + 1 in SET_PATHS and os.path.exists(SET_PATHS[n + 1]):
+        n += 1
+    return n
 
 
 @lru_cache(maxsize=4)

@@ -127,13 +127,13 @@ def _write_grouped(pb: PackedBits, ovs, alloc, scale, mant,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
-    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
+    tabs = hf.load_tables(table_id) if table_id in hf.SET_PATHS and table_id <= hf.n_sets() else None
     for i in range(len(mant)):
         m = int(alloc[bol[i]])
         if m <= 0:
             continue
         q = int(mant[i])
-        if table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
+        if table_id in hf.SET_PATHS and table_id <= hf.n_sets() and hf.MIN_M <= m <= hf.MAX_M:
             t = tabs[m]
             if t["lengths"][q] > 0:
                 pb.WriteBits(int(t["codes"][q]), int(t["lengths"][q]))
@@ -183,13 +183,13 @@ def _read_grouped(pb: PackedBits, bol: np.ndarray, cfg: CodecConfig,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
-    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
+    tabs = hf.load_tables(table_id) if table_id in hf.SET_PATHS and table_id <= hf.n_sets() else None
     mant = np.zeros(n, np.int64)
     for i in range(n):
         m = int(alloc[bol[i]])
         if m <= 0:
             continue
-        if table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
+        if table_id in hf.SET_PATHS and table_id <= hf.n_sets() and hf.MIN_M <= m <= hf.MAX_M:
             mant[i] = _read_huffman_symbol(pb, m, tabs)
         else:
             mant[i] = pb.ReadBits(m)

@@ -74,7 +74,7 @@ def _write_payload(ovs, alloc, scale, mant, cfg: CodecConfig,
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             pb.WriteBits(int(scale[b]), s)
-    if table_id in (1, 2):
+    if table_id in hf.SET_PATHS and table_id <= hf.n_sets():
         tabs = hf.load_tables(table_id)
         for b in range(bands.N_BANDS):
             m = int(alloc[b])
@@ -122,8 +122,8 @@ def _mantissa_costs(alloc, mant, cfg: CodecConfig
 
 
 def pick_tid(raw: int, hufs: list[int]) -> tuple[int, int]:
-    """(tableId, used_bits) from the 3-way min with tie order
-    raw <= set1 <= set2 (SPEC.md §8) — the serial mirror of
+    """(tableId, used_bits) from the (1 + n_sets)-way min with tie order
+    raw <= set1 <= set2 <= set3 (SPEC.md §8) — the serial mirror of
     codec._reservoir_chain's argmin."""
     best, tid = raw, 0
     for si, h in enumerate(hufs):
@@ -167,13 +167,13 @@ def _read_payload(data: bytes, cfg: CodecConfig):
     for b in range(bands.N_BANDS):
         if alloc[b] > 0:
             scale[b] = pb.ReadBits(s)
-    tabs = hf.load_tables(table_id) if table_id in (1, 2) else None
+    tabs = hf.load_tables(table_id) if table_id in hf.SET_PATHS and table_id <= hf.n_sets() else None
     mant = []
     for b in range(bands.N_BANDS):
         m = int(alloc[b])
         if m <= 0:
             mant.append([])
-        elif table_id in (1, 2) and hf.MIN_M <= m <= hf.MAX_M:
+        elif table_id in hf.SET_PATHS and table_id <= hf.n_sets() and hf.MIN_M <= m <= hf.MAX_M:
             mant.append([_read_huffman_symbol(pb, m, tabs)
                          for _ in range(int(n_lines[b]))])
         else:

@@ -124,7 +124,7 @@ def test_reservoir_bounded(clip44):
     assert np.all(np.asarray(vbr.table_id) <= cfg.huffman_sets)
 
 
-# ------------------------------ second trained set (tid = 2, SPEC §8 v3) ----
+# ------------- extra trained sets (tid = 2 v3, tid = 3 v4; SPEC §8) ----
 
 @pytest.fixture(scope="module")
 def transient_clip():
@@ -132,9 +132,10 @@ def transient_clip():
     return castanets(44100, 1.0)[:, None], 44100
 
 
-def test_set2_tables_prefix_free_and_distinct():
-    assert hf.n_sets() == 2
-    for m, t in hf.load_tables(2).items():
+@pytest.mark.parametrize("sid", [2, 3])
+def test_extra_set_tables_prefix_free_and_distinct(sid):
+    assert hf.n_sets() == 3
+    for m, t in hf.load_tables(sid).items():
         lens, codes = t["lengths"], t["codes"]
         live = [(int(l), int(c)) for l, c in zip(lens, codes) if l > 0]
         for i, (l1, c1) in enumerate(live):
@@ -142,8 +143,8 @@ def test_set2_tables_prefix_free_and_distinct():
                 lo, hi = sorted([(l1, c1), (l2, c2)])
                 assert (hi[1] >> (hi[0] - lo[0])) != lo[1]
         assert lens[-1] > 0
-    # the transient set is genuinely different from the general set
-    assert any(list(hf.load_tables(2)[m]["lengths"])
+    # each extra set is genuinely different from the general set
+    assert any(list(hf.load_tables(sid)[m]["lengths"])
                != list(hf.load_tables(1)[m]["lengths"])
                for m in range(hf.MIN_M, hf.MAX_M + 1))
 
@@ -195,3 +196,61 @@ def test_set2_gain_on_transients(transient_clip):
     y1, _ = api.decode_array(api.encode_array(x, cfg1), precision="fast")
     s1, s2 = _snr(x[:, 0], y1[:, 0]), _snr(x[:, 0], y2[:, 0])
     assert s2 > s1 + 0.2, (s1, s2)
+
+
+@pytest.fixture(scope="module")
+def lowrate_clip():
+    """Held-out low-rate material (NOT in set 3's training corpus:
+    training used _tonal_mix seeds 7000-7003; this is 9000)."""
+    from tools.make_corpus import _tonal_mix
+    return _tonal_mix(44100, 1.5, seed=9000)[:, None], 44100
+
+
+def test_tid3_chosen_and_byte_parity(lowrate_clip):
+    """On low-rate material the encoder picks tid=3 for most blocks, the
+    stream byte-matches the oracle, and both decoders walk set 3."""
+    x, fs = lowrate_clip
+    cfg = PRESETS["vbr-huffman"].replace(n_channels=1, precision="parity",
+                                         bitrate_bps=48000)
+    data = api.encode_array(x, cfg)
+    assert data == o_enc(x, cfg)
+    tids = np.asarray(codec.encode_clip_vbr(x.T, cfg).table_id)
+    counts = np.bincount(tids.ravel(), minlength=4)
+    assert counts[3] > 0, counts                 # tid=3 actually in use
+    y, _ = api.decode_array(data)                # device decode walks set 3
+    y_o, _ = o_dec(data)                         # oracle decode too
+    np.testing.assert_allclose(y_o, y[: len(y_o)], atol=2e-6)
+
+
+def test_set3_direct_saving_ratchet(lowrate_clip):
+    """The measured reason tid=3 exists (VERDICT r4 item 6): on held-out
+    low-rate material the 4-way min saves >=3% mantissa bits over the
+    3-way min (measured 6.6% on this clip; eval corpus 2.5%) and tid=3
+    carries the majority of blocks (measured 94%). Pins table quality so
+    a retrain can't silently lose the margin. The end-to-end R-D effect
+    is ~0 (PERF.md round 5) — the saving is diffuse, unlike tid=2's
+    transient concentration — so the ratchet pins the DIRECT saving."""
+    from tac import bands
+
+    x, fs = lowrate_clip
+    cfg = PRESETS["vbr-huffman"].replace(n_channels=1, bitrate_bps=48000,
+                                         precision="fast")
+    bol = bands.band_of_line(cfg.sample_rate, cfg.n_mdct_lines)
+    vc = codec.encode_clip_vbr(jnp.asarray(x.T, jnp.float32), cfg)
+    alloc = np.asarray(vc.code.alloc_code)[0]
+    alloc = np.where(alloc > 0, alloc + 1, 0)
+    mant = np.asarray(vc.code.mant)[0]
+    m_line = alloc[..., bol].astype(np.int64)
+    raw = m_line.sum(axis=-1)
+    codable = (m_line >= hf.MIN_M) & (m_line <= hf.MAX_M)
+    row = np.clip(m_line - hf.MIN_M, 0, hf.MAX_M - hf.MIN_M)
+    costs = [np.where(codable,
+                      hf.cost_table_np(s).astype(np.int64)[
+                          row, np.clip(mant, 0, 255)],
+                      m_line).sum(axis=-1) for s in (1, 2, 3)]
+    three = np.minimum.reduce([raw, costs[0], costs[1]]).sum()
+    four = np.minimum.reduce([raw, *costs]).sum()
+    assert four <= three                         # min over superset
+    assert 100 * (three - four) / three >= 3.0, (three, four)
+    tid = np.asarray(vc.table_id)[0]
+    assert (tid == 3).mean() >= 0.5, np.bincount(tid, minlength=4)

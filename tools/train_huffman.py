@@ -8,7 +8,7 @@ the 2^m raw codes plus ESCAPE (= 2^m); rare symbols (and anything that
 would push max code length past MAX_LEN) collapse into ESCAPE, which emits
 the raw m bits after its codeword.
 
-Two sets (SPEC.md §8, VERDICT r3 item 5 — the reserved tableId space):
+Three sets (SPEC.md §8 — the full 2-bit tableId space):
   set 1 (tac/huffman_tables.json): the general corpus above;
   set 2 (tac/huffman_tables_t.json): transient/short-block statistics —
     grouped-short mantissas of SHORT frames plus the long-path mantissas
@@ -16,8 +16,15 @@ Two sets (SPEC.md §8, VERDICT r3 item 5 — the reserved tableId space):
     pipeline on attack-heavy material. Short-block mantissas concentrate
     differently (impulsive spectra -> heavier extreme-code mass), which
     is exactly what a per-block tableId exists to exploit.
+  set 3 (tac/huffman_tables_s.json): side-channel / low-rate statistics —
+    VBR mantissas of M/S side channels (sparse, near-threshold spectra)
+    and of 48-64 kbps mono encodes. Starved allocations concentrate code
+    mass near zero; tools/eval_tid3.py measured a 0.96% mantissa-bit
+    saving for the 4-way min on held-out blocks (above the 0.3% wire-in
+    threshold derived from the tid=2 precedent), which is why the last
+    tableId value is spent here (VERDICT r4 item 6).
 
-Run: python tools/train_huffman.py [--set 1|2|all]  (default: all)
+Run: python tools/train_huffman.py [--set 1|2|3|all]  (default: all)
 """
 
 from __future__ import annotations
@@ -162,6 +169,61 @@ def collect_histograms_transient() -> dict[int, np.ndarray]:
     return hists
 
 
+def side_lowrate_sources(fs: int = 44100, seconds: float = 1.5):
+    """(mono_signal, bitrate_bps) pairs carrying set-3 statistics: M/S side
+    channels at the rate the joint allocator typically grants them, mids,
+    and low-rate mono encodes. Mirrors tools/eval_tid3.py's block_sources
+    (the measurement that justified wiring tid=3) but over its FULL clip
+    set — the shipping table trains on everything; eval_tid3 keeps the
+    train/test split for the held-out-saving measurement."""
+    import jax.numpy as jnp
+
+    from tac.codec import ms_forward
+    from tools import material
+    from tools.make_corpus import _tonal_mix
+
+    casts = material.castanets(fs, seconds)
+    speech = material.speech_like(fs, seconds)
+    glock = material.glockenspiel(fs, seconds)
+    mixes = [_tonal_mix(fs, seconds, seed=7000 + i) for i in range(4)]
+    rng = np.random.default_rng(99)
+    for base in (casts, speech, glock, *mixes):
+        r = 0.8 * np.roll(base, int(rng.integers(8, 200)))
+        r = r + 0.01 * rng.standard_normal(len(base))
+        ms = np.asarray(ms_forward(jnp.asarray(np.stack([base, r]),
+                                               jnp.float32)))
+        yield ms[1], 48000          # side channel
+        yield ms[0], 80000          # mid at its joint-alloc share
+    for m in (casts, speech, glock, *mixes):
+        yield m, 48000
+        yield m, 64000
+
+
+def collect_histograms_side() -> dict[int, np.ndarray]:
+    """Set-3 histograms: VBR encodes of side/low-rate material — the codes
+    tid=3 would actually carry (reservoir-fed allocations, not fixed-rate),
+    collected under the shipping 3-way pricing."""
+    from tac import bands, codec
+    from tac.config import CodecConfig
+
+    hists = {m: np.zeros(2 ** m, np.int64) for m in range(2, 9)}
+    for x, bps in side_lowrate_sources():
+        cfg = CodecConfig(sample_rate=44100, n_channels=1, bitrate_bps=bps,
+                          use_psy=True, use_huffman=True, huffman_sets=2,
+                          precision="fast")
+        bol = bands.band_of_line(cfg.sample_rate, cfg.n_mdct_lines)
+        vc = codec.encode_clip_vbr(x[None, :].astype(np.float32), cfg)
+        alloc = np.asarray(vc.code.alloc_code)[0]
+        alloc = np.where(alloc > 0, alloc + 1, 0)
+        mant = np.asarray(vc.code.mant)[0]
+        m_line = alloc[..., bol]
+        for m in range(2, 9):
+            sel = mant[m_line == m]
+            if sel.size:
+                hists[m] += np.bincount(sel, minlength=2 ** m)
+    return hists
+
+
 def build_canonical(freq: np.ndarray) -> tuple[list[int], list[int]]:
     """freq over syms 0..2^m (last = ESCAPE) → canonical (lengths, codes)."""
     n = len(freq)
@@ -249,4 +311,9 @@ if __name__ == "__main__":
         out = os.path.join(tac_dir, "huffman_tables_t.json")
         with open(out, "w") as f:
             json.dump(train(collect_histograms_transient()), f)
+        print("wrote", out)
+    if which in ("3", "all"):
+        out = os.path.join(tac_dir, "huffman_tables_s.json")
+        with open(out, "w") as f:
+            json.dump(train(collect_histograms_side()), f)
         print("wrote", out)
