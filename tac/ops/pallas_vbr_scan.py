@@ -156,9 +156,14 @@ def vbr_reservoir_scan(smr_q, bits_huf, n_lines, res0, *, base: int,
     ws_rounds = max(int(os.environ.get("TAC_WS_ROUNDS", 1)), 1)
     ws_bisect = max(int(os.environ.get("TAC_WS_BISECT", 12)), 1)
     # prefix: straight-line body applications before the loop (decision-
-    # exact at any value); max_trips: MEASUREMENT-ONLY tail truncation
-    # (NOT decision-exact — floor probes, PERF.md "VBR scan tail")
-    wf_prefix = max(int(os.environ.get("TAC_WF_PREFIX", 0)), 0)
+    # exact at any value — post-done applications are the identity).
+    # Default 12 = the measured knee (tools/bench_vbr_tail.py, round 5:
+    # base/p8/p10/p12/p16 = 46.0/44.5/44.3/43.6/43.8 ms per 60-s scan —
+    # each converted trip saves only the ~20% loop-sync share, so the
+    # win is bounded; p16 tips into wasted straight-line work).
+    # max_trips: MEASUREMENT-ONLY tail truncation (NOT decision-exact —
+    # floor probes, PERF.md "VBR scan tail")
+    wf_prefix = max(int(os.environ.get("TAC_WF_PREFIX", 12)), 0)
     wf_max_trips = max(int(os.environ.get("TAC_WF_MAX_TRIPS", 0)), 0)
     fp = -(-f // g) * g
     n_grid = fp // g

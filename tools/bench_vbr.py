@@ -70,13 +70,21 @@ def main() -> None:
         return lambda: np.asarray(j(xin)), k
 
     # --- flat huffman VBR, single clip
+    # TAC_BENCH_VBR_SETS overrides huffman_sets for the n-way-min device
+    # cost A/B (PERF.md round-5 tid3 section)
+    n_sets = int(os.environ.get("TAC_BENCH_VBR_SETS", 0))
     cfg = PRESETS["vbr-huffman"]
+    if n_sets:
+        cfg = cfg.replace(huffman_sets=n_sets)
+    out["huffman_sets"] = cfg.huffman_sets
     fn, k = chained(lambda xx: codec.encode_clip_vbr_packed(xx, cfg), xd)
     out["vbr_device"] = round(k * secs / timeit(fn), 1)
 
     # --- combo (VBR + blockswitch), single clip
     from tac import blockswitch as bsw
     ccfg = PRESETS["vbr-bs"]
+    if n_sets:
+        ccfg = ccfg.replace(huffman_sets=n_sets)
     fn, k = chained(lambda xx: bsw.encode_clip_bs_vbr_packed(xx, ccfg), xd)
     out["combo_device"] = round(k * secs / timeit(fn), 1)
 
