@@ -25,6 +25,11 @@ def _add_config_flags(p: argparse.ArgumentParser) -> None:
                    choices=["greedy", "uniform", "const_snr", "const_mnr"])
     p.add_argument("--no-psy", action="store_true")
     p.add_argument("--huffman", action="store_true")
+    p.add_argument("--huffman-sets", dest="huffman_sets", type=int,
+                   choices=[1, 2, 3],
+                   help="trained table sets to price (default 2; 3 adds "
+                        "the side-channel/low-rate set — worth ~2.5%% "
+                        "entropy on 48-64 kbps streams, SPEC.md §8)")
     p.add_argument("--blockswitch", action="store_true")
     p.add_argument("--stereo", dest="stereo_mode", choices=["lr", "ms"],
                    help="ms = mid/side transform + joint allocation "
@@ -52,6 +57,8 @@ def _build_config(args, fs: int | None = None, n_ch: int | None = None
         kw["use_psy"] = False
     if args.huffman:
         kw["use_huffman"] = True
+    if getattr(args, "huffman_sets", None):
+        kw["huffman_sets"] = args.huffman_sets
     if args.blockswitch:
         kw["use_block_switch"] = True
     if getattr(args, "stereo_mode", None):

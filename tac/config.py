@@ -46,10 +46,15 @@ class CodecConfig:
     reservoir_factor: int = 4           # reservoir cap = factor * per-block budget
     # Trained table sets the ENCODER prices (SPEC.md §8): 1 = the general
     # set only (rounds 1-3 behavior), 2 = also the transient/short-block
-    # set via tableId=2 (round-4 behavior), 3 = also the side-channel/
-    # low-rate set via tableId=3 (4-way raw/set1/set2/set3 min per
-    # block). Decoders always accept any tid the tables on disk cover.
-    huffman_sets: int = 3
+    # set via tableId=2, 3 = also the side-channel/low-rate set via
+    # tableId=3 (4-way min). Default 2, decided by measurement (PERF.md
+    # round 5): each pricing set costs ~10%/18% batched VBR scan
+    # throughput (3981/3578/2933 aps at 1/2/3 sets, interleaved A/B);
+    # set 2 converts to +0.7-0.9 dB on transients, set 3's 2.5% entropy
+    # margin on low-rate/side streams does NOT convert end-to-end, so 3
+    # is opt-in (CLI --huffman-sets 3) where those streams dominate.
+    # Decoders always accept any tid the tables on disk cover.
+    huffman_sets: int = 2
 
     # Stereo coding (SPEC.md §11 — an extension BEYOND the reference):
     # "lr" = independent channels (reference behavior); "ms" = mid/side

@@ -211,7 +211,7 @@ def test_tid3_chosen_and_byte_parity(lowrate_clip):
     stream byte-matches the oracle, and both decoders walk set 3."""
     x, fs = lowrate_clip
     cfg = PRESETS["vbr-huffman"].replace(n_channels=1, precision="parity",
-                                         bitrate_bps=48000)
+                                         bitrate_bps=48000, huffman_sets=3)
     data = api.encode_array(x, cfg)
     assert data == o_enc(x, cfg)
     tids = np.asarray(codec.encode_clip_vbr(x.T, cfg).table_id)
@@ -234,7 +234,7 @@ def test_set3_direct_saving_ratchet(lowrate_clip):
 
     x, fs = lowrate_clip
     cfg = PRESETS["vbr-huffman"].replace(n_channels=1, bitrate_bps=48000,
-                                         precision="fast")
+                                         precision="fast", huffman_sets=3)
     bol = bands.band_of_line(cfg.sample_rate, cfg.n_mdct_lines)
     vc = codec.encode_clip_vbr(jnp.asarray(x.T, jnp.float32), cfg)
     alloc = np.asarray(vc.code.alloc_code)[0]

@@ -119,12 +119,11 @@ def test_castanets_pre_echo_bounded(mats):
 
 
 def test_tid2_wins_on_transients():
-    """The second trained Huffman set must keep earning its place:
-    multi-set pricing (huffman_sets=3, the default — set 2 carries the
-    transient blocks) beats set-1-only pricing on transient material by
-    >=0.5 dB SNR at matched bytes (measured +0.86 dB at -0.26% bytes,
-    PERF.md round-4 tid2 table) — pins the lever so it can't silently
-    regress (VERDICT r4 item 8)."""
+    """The second trained Huffman set must keep earning its place: the
+    default raw/set1/set2 pricing (huffman_sets=2) beats set-1-only
+    pricing on transient material by >=0.5 dB SNR at matched bytes
+    (measured +0.86 dB at -0.26% bytes, PERF.md round-4 tid2 table) —
+    pins the lever so it can't silently regress (VERDICT r4 item 8)."""
     x = castanets(FS, 1.5)
     cfg2 = PRESETS["vbr-huffman"].replace(n_channels=1)     # default sets
     cfg1 = cfg2.replace(huffman_sets=1)
