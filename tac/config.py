@@ -40,6 +40,17 @@ class CodecConfig:
     max_maskers: int = 64
     delta_tonal_db: float = 16.0
     delta_noise_db: float = 6.0
+    # Masked-threshold granularity (SPEC §5): "band" evaluates the
+    # masker spreading at the 2B band-edge Barks with a provably
+    # conservative per-band bound (psy.masked_threshold_bands) —
+    # measured round 5: 1.50x flagship encode (12.6k -> 18.9k aps),
+    # +0.1..+3.0 dB SNR on every fixed-rate leg, worst NMR cell judged
+    # by the LINE threshold +0.86 -> -3.03 dB. The default engages it
+    # ONLY on the measured-win scope (fast, fixed-rate, lr, no
+    # blockswitch — psy.make_consts has the measured boundary story);
+    # "line" is the reference-faithful model, always used by parity
+    # mode (so oracle parity and goldens are unaffected).
+    psy_granularity: str = "band"
 
     # Entropy coding
     use_huffman: bool = False
@@ -82,6 +93,9 @@ class CodecConfig:
             raise ValueError(f"unknown alloc_mode {self.alloc_mode!r}")
         if self.precision not in ("parity", "fast"):
             raise ValueError(f"unknown precision {self.precision!r}")
+        if self.psy_granularity not in ("line", "band"):
+            raise ValueError(
+                f"unknown psy_granularity {self.psy_granularity!r}")
         if self.huffman_sets not in (1, 2, 3):
             raise ValueError("huffman_sets must be 1, 2 or 3 (2-bit "
                              "tableId: 0 = raw, 1/2/3 = trained sets)")

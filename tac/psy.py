@@ -90,6 +90,11 @@ class PsyConsts(NamedTuple):
     delta_tonal: float
     delta_noise: float
     noise_maskers: bool
+    # band-granular threshold mode (psy_granularity="band", SPEC §5):
+    band_thresh: bool = False
+    zedge_lo: object = None      # [N_BANDS] Bark of each band's first line
+    zedge_hi: object = None      # [N_BANDS] Bark of each band's last line
+    quiet_band_i: object = None  # [N_BANDS] min quiet intensity over band
 
 
 def _bark_np(f):
@@ -121,6 +126,19 @@ def make_consts(cfg) -> PsyConsts:
         nk = np.arange(n)[:, None] * (np.arange(h)[None, :] * (2 * np.pi / n))
         fft_cos = jnp.asarray(hw[:, None] * np.cos(nk), dt)
         fft_sin = jnp.asarray(hw[:, None] * np.sin(nk), dt)
+    # band-granular mode constants: each band's line run is contiguous and
+    # z is increasing in line index, so the band's extreme-line Barks are
+    # where any unimodal-in-z masker spread attains its per-band minimum;
+    # quiet is not unimodal (the 3.3 kHz dip), so its band min is exact.
+    zl = _bark_np(f)
+    ranges = bands.band_line_ranges(cfg.sample_rate, h)
+    zlo = np.zeros(bands.N_BANDS)
+    zhi = np.zeros(bands.N_BANDS)
+    qb = np.ones(bands.N_BANDS)
+    for b, (s, e) in enumerate(ranges):
+        if e > s:
+            zlo[b], zhi[b] = zl[s], zl[e - 1]
+            qb[b] = quiet[s:e].min()
     return PsyConsts(
         fft_cos=fft_cos,
         fft_sin=fft_sin,
@@ -128,17 +146,34 @@ def make_consts(cfg) -> PsyConsts:
         fft_gain=float(4.0 / (n * n * np.mean(hw ** 2))),
         mdct_gain=float(8.0 / np.mean(w ** 2)),
         freqs=jnp.asarray(f, dt),
-        zline=jnp.asarray(_bark_np(f), dt),
+        zline=jnp.asarray(zl, dt),
         quiet_i=jnp.asarray(quiet, dt),
         band_of_line=jnp.asarray(bands.band_of_line(cfg.sample_rate, h)),
         n_lines=jnp.asarray(bands.lines_per_band(cfg.sample_rate, h)),
-        band_ranges=bands.band_line_ranges(cfg.sample_rate, h),
+        band_ranges=ranges,
         noise_z=jnp.asarray(_bark_np(bands.band_center_freqs(cfg.sample_rate)), dt),
         line_valid=jnp.asarray(np.ones(h, bool)),
         max_maskers=cfg.max_maskers,
         delta_tonal=cfg.delta_tonal_db,
         delta_noise=cfg.delta_noise_db,
         noise_maskers=cfg.psy_noise_maskers,
+        # parity ALWAYS uses the line-granular model (the oracle's), and
+        # "band" engages only on the paths where its round-5 A/B won:
+        # plain fixed-rate lr coding. Measured boundaries (PERF.md):
+        # blockswitch legs REGRESS under the band bound (streaming-ll
+        # glockenspiel −5.5 dB — coarse short-frame bands make the
+        # conservative min far looser), and under VBR the tid=2 lever's
+        # +0.86 dB collapses to +0.04 (the trained sets carry line-mode
+        # mantissa statistics). Those paths keep the line model until
+        # they get their own A/B (+ retrained tables for VBR).
+        band_thresh=(cfg.precision == "fast"
+                     and getattr(cfg, "psy_granularity", "line") == "band"
+                     and not cfg.use_block_switch
+                     and not cfg.use_huffman
+                     and getattr(cfg, "stereo_mode", "lr") == "lr"),
+        zedge_lo=jnp.asarray(zlo, dt),
+        zedge_hi=jnp.asarray(zhi, dt),
+        quiet_band_i=jnp.asarray(qb, dt),
     )
 
 
@@ -243,23 +278,22 @@ def _spread_spl(lm, zm, delta, zline):
     return (lm - delta)[:, None] - drop
 
 
-def masked_threshold(time_frame, c: PsyConsts):
-    """Masked-threshold intensity at each line. time_frame: [N] → [H].
-
-    One fused graph: FFT → intensities → peak pick → top-K tonal maskers →
-    dense spreading → (optional) per-band noise maskers → intensity sum with
-    threshold in quiet.
-    """
+def _spectrum_intensity(time_frame, c: PsyConsts):
+    """[N] time frame → [H] psy spectrum intensity (FFT or MXU DFT)."""
     h = c.freqs.shape[0]
     if c.fft_cos is None:            # parity: f64 FFT, oracle-identical
         xf = jnp.fft.fft(time_frame.astype(c.hann.dtype) * c.hann)[:h]
-        ii = c.fft_gain * jnp.abs(xf) ** 2                   # [H] intensity
-    else:                            # fast: DFT as two MXU matmuls
-        x = time_frame.astype(c.hann.dtype)
-        re = jnp.dot(x, c.fft_cos, preferred_element_type=x.dtype)
-        im = jnp.dot(x, c.fft_sin, preferred_element_type=x.dtype)
-        ii = c.fft_gain * (re * re + im * im)
+        return c.fft_gain * jnp.abs(xf) ** 2                 # [H] intensity
+    x = time_frame.astype(c.hann.dtype)  # fast: DFT as two MXU matmuls
+    re = jnp.dot(x, c.fft_cos, preferred_element_type=x.dtype)
+    im = jnp.dot(x, c.fft_sin, preferred_element_type=x.dtype)
+    return c.fft_gain * (re * re + im * im)
 
+
+def _tonal_maskers(ii, c: PsyConsts):
+    """[H] intensities → (peak_i[H], top_i[K], top_idx[K], lm[K], zm[K],
+    valid[K], k). Op-for-op the round-3 formulation (see comments)."""
+    h = c.freqs.shape[0]
     # --- tonal maskers: interior local maxima, ±1-bin aggregation
     left = jnp.concatenate([jnp.full((1,), jnp.inf, ii.dtype), ii[:-1]])
     right = jnp.concatenate([ii[1:], jnp.full((1,), jnp.inf, ii.dtype)])
@@ -310,6 +344,44 @@ def masked_threshold(time_frame, c: PsyConsts):
     fm = fm_num / jnp.maximum(top_i, 1e-40)
     lm = spl_from_intensity(top_i)                           # [K]
     zm = bark(fm)
+    return peak_i, top_i, top_idx, lm, zm, valid, k
+
+
+def _noise_band_maskers(ii, peak_i, top_i, top_idx, valid, k, c: PsyConsts):
+    """Per-band noise maskers → (ln[B] SPL, nvalid[B]).
+
+    Bins swallowed by a kept tonal masker (±1) are excluded from noise.
+    The kept set {top_idx[j] : valid[j]} is reconstructed at LINE level
+    from the kth value + stable-tie index bound, so no [K, H] distance
+    tensor is built (its reduce_or was 16% of the encode chunk): a line
+    is kept iff its aggregated peak intensity strictly beats the kth
+    sorted value, or equals it with index at most the largest kept tie
+    index (stable sort keeps lowest indices first) — and is positive,
+    mirroring `valid`."""
+    h = c.freqs.shape[0]
+    thr_k = top_i[k - 1]
+    tie_hi = jnp.max(jnp.where((top_i == thr_k) & valid, top_idx, -1))
+    line_idx = jnp.arange(h, dtype=jnp.int32)
+    kept = (peak_i > 0.0) & ((peak_i > thr_k)
+                             | ((peak_i == thr_k) & (line_idx <= tie_hi)))
+    near_peak = (kept
+                 | jnp.concatenate([kept[1:], kept[:1] & False])
+                 | jnp.concatenate([kept[:1] & False, kept[:-1]]))
+    noise_line_i = jnp.where(near_peak, 0.0, ii)
+    noise_i = jops.segment_sum(noise_line_i, c.band_of_line,
+                               num_segments=bands.N_BANDS)
+    return spl_from_intensity(noise_i), noise_i > 0.0
+
+
+def masked_threshold(time_frame, c: PsyConsts):
+    """Masked-threshold intensity at each line. time_frame: [N] → [H].
+
+    One fused graph: FFT → intensities → peak pick → top-K tonal maskers →
+    dense spreading → (optional) per-band noise maskers → intensity sum with
+    threshold in quiet.
+    """
+    ii = _spectrum_intensity(time_frame, c)
+    peak_i, top_i, top_idx, lm, zm, valid, k = _tonal_maskers(ii, c)
 
     # TAC_FAST_SPREAD=1 (trace-time): the whole two-slope spread+sum
     # (tonal AND noise maskers on one axis) in the log2-intensity domain
@@ -341,27 +413,8 @@ def masked_threshold(time_frame, c: PsyConsts):
         thr_i = jnp.sum(intensity_from_spl(spread) * valid[:, None], axis=0)
 
     if c.noise_maskers:
-        # bins swallowed by a kept tonal masker (±1) are excluded from
-        # noise. The kept set {top_idx[j] : valid[j]} is reconstructed at
-        # LINE level from the kth value + stable-tie index bound, so no
-        # [K, H] distance tensor is built (its reduce_or was 16% of the
-        # encode chunk): a line is kept iff its aggregated peak intensity
-        # strictly beats the kth sorted value, or equals it with index at
-        # most the largest kept tie index (stable sort keeps lowest
-        # indices first) — and is positive, mirroring `valid`.
-        thr_k = top_i[k - 1]
-        tie_hi = jnp.max(jnp.where((top_i == thr_k) & valid, top_idx, -1))
-        line_idx = jnp.arange(h, dtype=jnp.int32)
-        kept = (peak_i > 0.0) & ((peak_i > thr_k)
-                                 | ((peak_i == thr_k) & (line_idx <= tie_hi)))
-        near_peak = (kept
-                     | jnp.concatenate([kept[1:], kept[:1] & False])
-                     | jnp.concatenate([kept[:1] & False, kept[:-1]]))
-        noise_line_i = jnp.where(near_peak, 0.0, ii)
-        nb = bands.N_BANDS
-        noise_i = jops.segment_sum(noise_line_i, c.band_of_line, num_segments=nb)
-        ln = spl_from_intensity(noise_i)                     # [B]
-        nvalid = noise_i > 0.0
+        ln, nvalid = _noise_band_maskers(ii, peak_i, top_i, top_idx,
+                                         valid, k, c)
         if fast_spread:
             e2n = jnp.where(nvalid, (ln - c.delta_noise - 96.0) * lg, _NEG)
             return _spread_sum_fast(
@@ -375,6 +428,48 @@ def masked_threshold(time_frame, c: PsyConsts):
     return thr_i + c.quiet_i
 
 
+def masked_threshold_bands(time_frame, c: PsyConsts):
+    """Band-granular masked threshold (psy_granularity="band"): [N] → [B].
+
+    The formulation change the round-5 roofline closure points at: the
+    line-granular [M, H] spread grid is at the VPU's arithmetic floor
+    (PERF.md), so the remaining factor comes from evaluating masking at
+    CRITICAL-BAND granularity — the resolution masking is defined at
+    (the reference's own threshold integrates per band downstream, and
+    production codecs compute per-partition thresholds). Construction:
+    every masker's two-slope spread is unimodal in Bark and each band
+    owns a contiguous, z-increasing line run, so its minimum over a
+    band's lines sits at one of the band's two EXTREME lines. Evaluating
+    the spread at those 2B edge Barks and taking the per-masker edge min
+    gives Σ_m min_band I_m + min_band quiet ≤ threshold(line) for every
+    line in the band — a CONSERVATIVE band threshold (never masks more
+    than the line-granular model), at [M, 2B] work instead of [M, H]
+    (~20x less for H=1024). The resulting band SMR upper-bounds the
+    line-granular band SMR, so no band can lose allocation priority
+    through under-masking; tests pin the quality outcome.
+    """
+    ii = _spectrum_intensity(time_frame, c)
+    peak_i, top_i, top_idx, lm, zm, valid, k = _tonal_maskers(ii, c)
+
+    zedges = jnp.concatenate([c.zedge_lo, c.zedge_hi])       # [2B]
+    nb = bands.N_BANDS
+
+    sp_t = _spread_spl(lm, zm, c.delta_tonal, zedges)        # [K, 2B]
+    sp_t = jnp.where(valid[:, None], sp_t, _NEG)
+    it = intensity_from_spl(sp_t) * valid[:, None]
+    thr_b = jnp.sum(jnp.minimum(it[:, :nb], it[:, nb:]), axis=0)   # [B]
+
+    if c.noise_maskers:
+        ln, nvalid = _noise_band_maskers(ii, peak_i, top_i, top_idx,
+                                         valid, k, c)
+        sp_n = _spread_spl(ln, c.noise_z, c.delta_noise, zedges)   # [B, 2B]
+        inn = intensity_from_spl(sp_n) * nvalid[:, None]
+        thr_b = thr_b + jnp.sum(jnp.minimum(inn[:, :nb], inn[:, nb:]),
+                                axis=0)
+
+    return thr_b + c.quiet_band_i
+
+
 def calc_smrs(time_frame, mdct_lines, c: PsyConsts, mdct_gain=None):
     """SMR per scale-factor band. time_frame: [N], mdct_lines: [H] (pre-
     rescale). Returns [N_BANDS] f32/f64; empty bands get a large negative.
@@ -382,8 +477,14 @@ def calc_smrs(time_frame, mdct_lines, c: PsyConsts, mdct_gain=None):
     mdct_gain overrides the window-power gain 8/mean(w^2) (needed by the
     block-switch start/stop windows whose power differs from the long
     window; may be a traced scalar selected per window state)."""
-    thr_spl = spl_from_intensity(masked_threshold(time_frame, c))
     gain = c.mdct_gain if mdct_gain is None else mdct_gain
+    if c.band_thresh:                # band-granular mode (SPEC §5)
+        thr_spl_b = spl_from_intensity(masked_threshold_bands(time_frame, c))
+        line_spl = spl_from_intensity(
+            gain * mdct_lines.astype(thr_spl_b.dtype) ** 2)
+        smr = band_slice_max(line_spl, c.band_ranges, _NEG) - thr_spl_b
+        return jnp.where(c.n_lines > 0, smr, _NEG)
+    thr_spl = spl_from_intensity(masked_threshold(time_frame, c))
     line_spl = spl_from_intensity(gain * mdct_lines.astype(thr_spl.dtype) ** 2)
     smr_line = line_spl - thr_spl
     smr = band_slice_max(smr_line, c.band_ranges, _NEG)

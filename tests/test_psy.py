@@ -148,3 +148,63 @@ def test_fast_spread_matches_exp10_formulation(sines_frame):
         np.float64)
     db = np.abs(10 * np.log10(thr_fast / np.maximum(thr_ref, 1e-300)))
     assert db.max() < 1e-3, db.max()
+
+
+# ------------------- band-granular threshold (psy_granularity="band") -------
+
+def test_band_threshold_is_conservative_bound():
+    """SPEC §5 v4: the band threshold lower-bounds the line threshold at
+    EVERY line of every band — on random frames and on real transient
+    material (per-masker edge-min + exact quiet band min)."""
+    import jax
+    from tools import material
+
+    fs = 44100
+    cfg = CodecConfig(sample_rate=fs, n_channels=1, n_mdct_lines=1024,
+                      precision="fast", psy_granularity="band")
+    c = jpsy.make_consts(cfg)
+    assert c.band_thresh
+    rng = np.random.default_rng(5)
+    cast = material.castanets(fs, 2048 * 2 / fs + 0.05)
+    frames = np.stack([0.3 * rng.standard_normal(2048),
+                       cast[:2048], cast[2048:4096]])
+    fj = jnp.asarray(frames, jnp.float32)
+    tb = np.asarray(jax.jit(jax.vmap(
+        lambda f: jpsy.masked_threshold_bands(f, c)))(fj))
+    tl = np.asarray(jax.jit(jax.vmap(
+        lambda f: jpsy.masked_threshold(f, c)))(fj))
+    for b, (s, e) in enumerate(c.band_ranges):
+        if e > s:
+            assert (tb[:, b] <= tl[:, s:e].min(axis=1) * (1 + 1e-5)).all(), b
+
+
+def test_band_smr_upper_bounds_line_smr():
+    """Band-granular SMR >= line-granular SMR per band (the allocation-
+    priority guarantee the conservative bound buys)."""
+    import jax
+    from tools import material
+
+    fs = 44100
+    x = material.glockenspiel(fs, 1.0)
+    fr = jnp.asarray(x[4096:4096 + 2048], jnp.float32)
+    cfgb = CodecConfig(sample_rate=fs, n_channels=1, n_mdct_lines=1024,
+                       precision="fast", psy_granularity="band")
+    cfgl = cfgb.replace(psy_granularity="line")
+    cb, cl = jpsy.make_consts(cfgb), jpsy.make_consts(cfgl)
+    from tac.dsp import window as win, mdct as fb
+    w = win.window_fn(cfgb.window, 2048)
+    lines = jnp.asarray(np.asarray(fr) @ fb.mdct_basis(1024, w, np.float32))
+    smr_b = np.asarray(jpsy.calc_smrs(fr, lines, cb))
+    smr_l = np.asarray(jpsy.calc_smrs(fr, lines, cl))
+    live = np.asarray(cb.n_lines) > 0
+    assert (smr_b[live] >= smr_l[live] - 1e-3).all()
+
+
+def test_parity_mode_ignores_band_granularity():
+    """Parity precision always uses the line-granular (oracle) model —
+    the knob must not disturb parity consts or bytes (goldens pin the
+    stream; this pins the mechanism)."""
+    cfg = CodecConfig(sample_rate=44100, n_channels=1,
+                      precision="parity", psy_granularity="band")
+    c = jpsy.make_consts(cfg)
+    assert not c.band_thresh

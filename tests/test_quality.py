@@ -139,10 +139,16 @@ def test_noise_below_masked_threshold():
     material at 128 kbps, per-band coding-noise intensity must sit at or
     under the psy model's own masked threshold — this validates what the
     SNR floors can't (noise can be large and inaudible, small and
-    audible). Measured round 4 (tools/measure_quality.py, CPU backend):
-    allocated-band NMR median -46.76 dB, p90 -33.75 dB, worst cell
-    +0.86 dB; unallocated bands (judged maskable by the allocator) all
-    <= -27.52 dB. Bounds = measured + ~1-2 dB (VERDICT r3 item 9)."""
+    audible). The JUDGE is always the line-granular threshold; since
+    round 5 the fixed-rate encoder allocates under the band-granular
+    bound (SPEC §5 v4), which this cross-model check holds to the finer
+    model's standard. Measured round 5 (tools/measure_quality.py
+    methodology, CPU backend, band encode / line judge): allocated-band
+    NMR median -47.27 dB, p90 -30.57, worst cell -3.03 (line encode
+    measured +0.86 here — the conservative bound protects the exposed
+    cells); unallocated bands <= -9.29 dB (line: -27.52; the
+    redistribution cost, still deeply masked). Bounds = measured
+    + ~1.5-2.5 dB margin (VERDICT r3 item 9)."""
     import jax
     import jax.numpy as jnp
 
@@ -181,7 +187,7 @@ def test_noise_below_masked_threshold():
     got = (alloc[interior] > 0)
     vals = nmr[interior][got]
     assert np.median(vals) <= -45.0, np.median(vals)
-    assert np.percentile(vals, 90) <= -32.0, np.percentile(vals, 90)
-    assert vals.max() <= 2.0, vals.max()
+    assert np.percentile(vals, 90) <= -28.5, np.percentile(vals, 90)
+    assert vals.max() <= 0.0, vals.max()
     empty = (alloc[interior] == 0) & (np.asarray(c.n_lines) > 0)[None, :]
-    assert nmr[interior][empty].max() <= -26.0
+    assert nmr[interior][empty].max() <= -7.0
