@@ -75,9 +75,14 @@ def test_decode_roundtrip_snr(clip44):
 
 
 def test_fast_mode_snr_within_tolerance(clip44):
-    """SPEC.md §10: fast (f32 matmul MDCT) within 0.1 dB of parity."""
+    """SPEC.md §10: fast (f32 matmul MDCT) within 0.1 dB of parity.
+
+    Pinned at psy_granularity="line" so this stays a NUMERICS-only check
+    (f32 vs f64 on the same model). The shipping fast default is the
+    band-granular formulation (SPEC §5 v4), which differs from parity by
+    DESIGN — its divergence is bounded separately below."""
     x, fs = clip44
-    base = PRESETS["stereo44-128"]
+    base = PRESETS["stereo44-128"].replace(psy_granularity="line")
     d_par = api.encode_array(x, base.replace(precision="parity"))
     d_fast = api.encode_array(x, base.replace(precision="fast"))
     s_par = _snr(x, api.decode_array(d_par)[0])
@@ -89,6 +94,26 @@ def test_fast_mode_snr_within_tolerance(clip44):
     c_fast = codec.encode_clip(x.T, base.replace(precision="fast"))
     m1, m2 = np.asarray(c_par.mant), np.asarray(c_fast.mant)
     assert np.mean(m1 == m2) > 0.999
+
+
+def test_band_default_divergence_bounded(clip44):
+    """The shipping fast default (band-granular psy) reallocates by
+    design; this bounds its divergence from the parity model on the
+    parity suite's multi-sine clip (measured −3.5 dB here — the
+    conservative bound moves bits off the pure sines toward their
+    noise-floor bands; on perceptually structured material SNR RISES
+    and the NMR worst cell improves, tests/test_quality.py). Same rate,
+    sane quality, deterministic bytes."""
+    x, fs = clip44
+    base = PRESETS["stereo44-128"]          # fast + band default
+    d1 = api.encode_array(x, base)
+    d2 = api.encode_array(x, base)
+    assert d1 == d2                         # deterministic
+    s_par = _snr(x, api.decode_array(
+        api.encode_array(x, base.replace(precision="parity")))[0])
+    s_band = _snr(x, api.decode_array(d1, precision="fast")[0])
+    assert s_band > s_par - 6.0, (s_par, s_band)
+    assert s_band > 12.0, s_band
 
 
 def test_rd_monotonicity(clip44):
