@@ -93,9 +93,10 @@ class CodecConfig:
             raise ValueError(f"unknown alloc_mode {self.alloc_mode!r}")
         if self.precision not in ("parity", "fast"):
             raise ValueError(f"unknown precision {self.precision!r}")
-        if self.psy_granularity not in ("line", "band"):
+        if self.psy_granularity not in ("line", "band", "band_all"):
             raise ValueError(
-                f"unknown psy_granularity {self.psy_granularity!r}")
+                f"unknown psy_granularity {self.psy_granularity!r} "
+                "(line | band [scoped default] | band_all [force])")
         if self.huffman_sets not in (1, 2, 3):
             raise ValueError("huffman_sets must be 1, 2 or 3 (2-bit "
                              "tableId: 0 = raw, 1/2/3 = trained sets)")

@@ -166,11 +166,16 @@ def make_consts(cfg) -> PsyConsts:
         # +0.86 dB collapses to +0.04 (the trained sets carry line-mode
         # mantissa statistics). Those paths keep the line model until
         # they get their own A/B (+ retrained tables for VBR).
+        # "band_all" forces the band bound on ANY fast config (the
+        # scope-extension A/B knob; quality gates are the caller's job)
         band_thresh=(cfg.precision == "fast"
-                     and getattr(cfg, "psy_granularity", "line") == "band"
-                     and not cfg.use_block_switch
-                     and not cfg.use_huffman
-                     and getattr(cfg, "stereo_mode", "lr") == "lr"),
+                     and (getattr(cfg, "psy_granularity", "line")
+                          == "band_all"
+                          or (cfg.psy_granularity == "band"
+                              and not cfg.use_block_switch
+                              and not cfg.use_huffman
+                              and getattr(cfg, "stereo_mode", "lr")
+                              == "lr"))),
         zedge_lo=jnp.asarray(zlo, dt),
         zedge_hi=jnp.asarray(zhi, dt),
         quiet_band_i=jnp.asarray(qb, dt),
